@@ -1,0 +1,91 @@
+"""Connected components parity vs cv2.connectedComponentsWithStats."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vickers_tpu.ops.components import extract_components, label_components
+
+
+def _cc_oracle(mask_u8):
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(mask_u8 * 255, connectivity=8)
+    comps = []
+    for i in range(1, n):
+        comps.append((int(stats[i, cv2.CC_STAT_AREA]), labels == i))
+    comps.sort(key=lambda t: -t[0])
+    return comps
+
+
+def _assert_same_partition(mask, our_labels, name=""):
+    """Same-component relation must match cv2's labeling exactly."""
+    n, ref_labels, _, _ = cv2.connectedComponentsWithStats(mask * 255, connectivity=8)
+    ours = np.asarray(our_labels)
+    fg = mask > 0
+    assert np.all((ours >= 0) == fg), name
+    # two fg pixels share a cv2 label iff they share ours
+    for i in range(1, n):
+        sel = ref_labels == i
+        vals = np.unique(ours[sel])
+        assert len(vals) == 1, f"{name}: cv2 component {i} split into {vals}"
+    # and distinct cv2 components get distinct ids
+    roots = [np.unique(ours[ref_labels == i])[0] for i in range(1, n)]
+    assert len(set(roots)) == len(roots), name
+
+
+def test_label_simple_blobs():
+    mask = np.zeros((64, 96), np.uint8)
+    cv2.circle(mask, (20, 20), 10, 1, -1)
+    cv2.rectangle(mask, (60, 40), (90, 60), 1, -1)
+    mask[5, 50] = 1  # singleton
+    _assert_same_partition(mask, label_components(jnp.asarray(mask, jnp.float32)))
+
+
+def test_label_diagonal_connectivity():
+    """8-connectivity: a diagonal chain is ONE component."""
+    mask = np.zeros((32, 32), np.uint8)
+    for i in range(20):
+        mask[i, i] = 1
+    labels = label_components(jnp.asarray(mask, jnp.float32))
+    _assert_same_partition(mask, labels)
+
+
+def test_label_concave_shapes():
+    mask = np.zeros((96, 96), np.uint8)
+    cv2.ellipse(mask, (48, 48), (40, 40), 0, 0, 300, 1, 8)  # thick open arc
+    mask2 = np.zeros((96, 96), np.uint8)
+    cv2.putText(mask2, "S", (20, 70), cv2.FONT_HERSHEY_SIMPLEX, 2.5, 1, 10)
+    for m in (mask, mask2):
+        _assert_same_partition(m, label_components(jnp.asarray(m, jnp.float32)))
+
+
+def test_label_real_masks(reference_masks):
+    for name, m in reference_masks:
+        small = cv2.resize(m, (512, 341), interpolation=cv2.INTER_NEAREST)
+        _assert_same_partition(small, label_components(jnp.asarray(small, jnp.float32)), name)
+
+
+def test_extract_components_topk_and_min_area():
+    mask = np.zeros((128, 128), np.uint8)
+    cv2.circle(mask, (30, 30), 20, 1, -1)    # big
+    cv2.circle(mask, (90, 90), 10, 1, -1)    # medium
+    cv2.circle(mask, (90, 20), 3, 1, -1)     # small, below min_area
+    comps = extract_components(jnp.asarray(mask, jnp.float32), min_area=200, max_components=4)
+    valid = np.asarray(comps.valid)
+    areas = np.asarray(comps.areas)
+    assert valid.sum() == 2
+    oracle = _cc_oracle(mask)
+    assert areas[0] == oracle[0][0]
+    assert areas[1] == oracle[1][0]
+    # areas descending, per-component masks match the oracle partition
+    assert np.array_equal(np.asarray(comps.masks[0]), oracle[0][1])
+    assert np.array_equal(np.asarray(comps.masks[1]), oracle[1][1])
+    # clean = union of kept components only
+    clean = np.asarray(comps.clean) > 0.5
+    assert np.array_equal(clean, oracle[0][1] | oracle[1][1])
+
+
+def test_extract_components_empty_mask():
+    comps = extract_components(jnp.zeros((64, 64), jnp.float32), min_area=200)
+    assert not np.any(np.asarray(comps.valid))
+    assert np.all(np.asarray(comps.clean) == 0)

@@ -1,0 +1,53 @@
+"""Device mesh / topology helpers.
+
+The reference has no distributed layer at all (SURVEY §2.3: single device,
+``"cuda" if torch.cuda.is_available() else "cpu"`` at train.py:592).  Here the
+device story is JAX-native: a ``jax.sharding.Mesh`` whose ``data`` axis carries
+batch parallelism over ICI; model axes are reserved for future spatial/tensor
+sharding of very large inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def create_mesh(
+    num_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2-D (data, model) mesh.
+
+    ``model_parallel=1`` (the default) gives pure data parallelism, the
+    appropriate regime for a 24M-param U-Net; the model axis exists so that
+    spatially-sharded high-res inference can reuse the same mesh.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    n = len(devs)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devs).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,119 @@
+"""Binary morphology as XLA reduce-window ops.
+
+TPU-native replacement for ``cv2.morphologyEx`` with the elliptical
+structuring elements the reference uses (3x3 open/close at
+ui_infer_rectangle.py:324-328, 5x5 fit-dilation at
+ui_infer_quadrilateral.py:478-481).  Erosion = min-window over the SE support,
+dilation = max-window; open = erode∘dilate, close = dilate∘erode.
+
+Masks are float32 0/1 (TPU-friendly; bool works too).  For the small SEs used
+here the op decomposes into one reduce_window per SE row offset, which XLA
+fuses into a handful of vector ops — no Pallas needed at these sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def ellipse_kernel(size: int) -> Tuple[Tuple[int, int], ...]:
+    """Offsets of cv2.getStructuringElement(MORPH_ELLIPSE, (size, size)).
+
+    cv2 builds the ellipse by scanning rows of an inscribed ellipse with
+    half-axes (size//2); for 3x3 this is the cross, for 5x5 the full 5x5 minus
+    nothing on the middle rows (cv2's 5x5 ellipse keeps all columns on rows
+    1..3 and the middle 3 on rows 0 and 4... computed exactly below with the
+    same integer arithmetic as cv2).
+    """
+    r = size // 2
+    c = size // 2
+    inv_r2 = 1.0 / (r * r) if r > 0 else 0.0
+    offs = []
+    for i in range(size):
+        dy = abs(i - r)
+        if dy <= r:
+            dx = int(r * np.sqrt(max(0.0, 1.0 - dy * dy * inv_r2)) + 0.5)
+            # cv2 uses: dx = saturate_cast<int>(r*sqrt((r2 - dy*dy)*inv_r2) + 0.5)
+            j0, j1 = max(c - dx, 0), min(c + dx + 1, size)
+            for j in range(j0, j1):
+                offs.append((i - r, j - c))
+    return tuple(offs)
+
+
+def _window_reduce(mask: jax.Array, offsets, reducer, init: float) -> jax.Array:
+    """Apply min/max over the SE support via shifted selects.
+
+    For tiny SEs this beats a general reduce_window: each offset is one
+    jnp.roll + select, all fused by XLA."""
+    h, w = mask.shape[-2], mask.shape[-1]
+    out = jnp.full_like(mask, init)
+    for (dy, dx) in offsets:
+        shifted = jnp.roll(mask, shift=(-dy, -dx), axis=(-2, -1))
+        # roll wraps; kill wrapped rows/cols with the border value.
+        if dy != 0:
+            rows = jnp.arange(h)
+            valid_r = (rows + dy >= 0) & (rows + dy < h)
+            shifted = jnp.where(valid_r[:, None], shifted, init)
+        if dx != 0:
+            cols = jnp.arange(w)
+            valid_c = (cols + dx >= 0) & (cols + dx < w)
+            shifted = jnp.where(valid_c[None, :], shifted, init)
+        out = reducer(out, shifted)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("size", "iterations"))
+def dilate(mask: jax.Array, size: int = 3, iterations: int = 1) -> jax.Array:
+    """cv2.dilate with an elliptical SE. Border: cv2 uses BORDER_CONSTANT with
+    the value that is the identity for the op (0 for dilate on binary)."""
+    offs = ellipse_kernel(size)
+    out = mask
+    for _ in range(iterations):
+        out = _window_reduce(out, offs, jnp.maximum, 0.0)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("size", "iterations"))
+def erode(mask: jax.Array, size: int = 3, iterations: int = 1) -> jax.Array:
+    """cv2.erode parity note: cv2's default border for erode replicates
+    +inf semantics (border does not erode the edge), so init=1 outside."""
+    offs = ellipse_kernel(size)
+    out = mask
+    for _ in range(iterations):
+        out = _window_reduce(out, offs, jnp.minimum, 1.0)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("size", "iterations"))
+def morph_open(mask: jax.Array, size: int = 3, iterations: int = 1) -> jax.Array:
+    """cv2.morphologyEx(MORPH_OPEN): iterations means erode xN then dilate xN."""
+    return dilate(erode(mask, size, iterations), size, iterations)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "iterations"))
+def morph_close(mask: jax.Array, size: int = 3, iterations: int = 1) -> jax.Array:
+    return erode(dilate(mask, size, iterations), size, iterations)
+
+
+@functools.partial(jax.jit, static_argnames=("morph_kernel", "open_iter", "close_iter"))
+def clean_binary(
+    prob: jax.Array,
+    bin_thresh: float,
+    morph_kernel: int = 3,
+    open_iter: int = 1,
+    close_iter: int = 1,
+) -> jax.Array:
+    """Threshold + open + close, the first stage of both reference
+    post-processors (ui_infer_rectangle.py:321-328)."""
+    mask = (prob >= bin_thresh).astype(jnp.float32)
+    if open_iter > 0:
+        mask = morph_open(mask, morph_kernel, open_iter)
+    if close_iter > 0:
+        mask = morph_close(mask, morph_kernel, close_iter)
+    return mask
