@@ -8,12 +8,21 @@ jax initializes, hence this module-level block.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Belt: env vars (effective when jax is not yet imported)...
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# ...and braces: this environment preloads jax via PYTHONPATH site hooks with
+# JAX_PLATFORMS=axon (the TPU tunnel), so the env vars alone are too late.
+# The config API works post-import as long as no backend has initialized.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import sys
 from pathlib import Path

@@ -1,0 +1,43 @@
+"""Compat entry point: rotated-rectangle measurement app.
+
+Same public surface as the reference's ``ui_infer_rectangle.py`` (constants
+:39-49, Segmenter, letterbox/unletterbox, postprocess_minarearect_multi,
+main) with the JAX engine underneath.  Fit = cv2.minAreaRect-equivalent,
+BIN_THRESH = 0.50.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from vickers_tpu.core.config import FitMode
+from vickers_tpu.apps.ui_common import (  # noqa: F401  (public re-exports)
+    Segmenter,
+    letterbox_square,
+    make_main,
+    make_overlay,
+    postprocess_minarearect_multi as _pp,
+    run_headless,
+    unletterbox,
+)
+
+# module constants (parity with ui_infer_rectangle.py:39-49)
+MODEL_DIR = "runs/unet_r34_512"
+IMG_SIZE = 512
+BIN_THRESH = 0.50
+MIN_AREA_FRAC = 0.0008
+MORPH_KERNEL = 3
+OPEN_ITER = 1
+CLOSE_ITER = 1
+
+postprocess_minarearect_multi = functools.partial(
+    _pp, bin_thresh=BIN_THRESH, min_area_frac=MIN_AREA_FRAC,
+    morph_kernel=MORPH_KERNEL, open_iter=OPEN_ITER, close_iter=CLOSE_ITER,
+    fit=FitMode.RECT,
+)
+
+main = make_main(FitMode.RECT, BIN_THRESH, fit_outset_px=0,
+                 default_model_dir=MODEL_DIR)
+
+if __name__ == "__main__":
+    raise SystemExit(main())

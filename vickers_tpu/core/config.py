@@ -152,6 +152,7 @@ class TrainConfig:
     num_devices: Optional[int] = None   # None = all; DP sharding over mesh
     donate: bool = True
     log_every: int = 0                  # 0 = per-epoch printing only
+    profile_dir: Optional[str] = None   # jax.profiler trace of epoch 1
 
 
 def rect_compat_postprocess() -> PostprocessConfig:

@@ -1,0 +1,112 @@
+"""Host-side data loading: decode once, cache letterboxed uint8, feed device.
+
+The reference re-decodes and re-resizes every image from disk on every epoch
+inside a ``num_workers=0`` DataLoader (train.py:586-589) — the dominant cost
+of its 8.5 s epochs.  Here the host does the *deterministic* geometry exactly
+once (cv2 decode + LongestMaxSize/PadIfNeeded letterbox, bit-parity with the
+reference's eval path, train.py:116-130), caches the result as uint8 in RAM
+(183 images x 512^2 x 3 = 144 MB), and every epoch is pure device work: the
+random augmentations (ops.augment) and normalization run on-TPU inside the
+train step.
+
+Decode parallelism comes from a thread pool (cv2.imread releases the GIL in
+its C++ core); batches are delivered as pinned-host numpy and the training
+loop overlaps H2D transfer with compute via double-buffered prefetch.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from vickers_tpu.core.config import LetterboxMode
+from vickers_tpu.data.manifest import Manifest, Sample
+from vickers_tpu.ops.image import letterbox_geometry
+
+
+def _decode_pair(sample: Sample, img_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Read image (BGR->RGB, train.py:145-149) + mask (>0 -> 1, channel 0 of
+    3-channel masks, train.py:162-170), apply the deterministic letterbox."""
+    import cv2
+
+    img = cv2.imread(sample.image, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(sample.image)
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    if sample.mask is None:
+        msk = np.zeros(img.shape[:2], np.uint8)
+    else:
+        msk = cv2.imread(sample.mask, cv2.IMREAD_UNCHANGED)
+        if msk is None:
+            raise FileNotFoundError(sample.mask)
+        if msk.ndim == 3:
+            msk = msk[:, :, 0]
+        msk = (msk > 0).astype(np.uint8)
+
+    h, w = img.shape[:2]
+    g = letterbox_geometry(h, w, img_size, LetterboxMode.CENTER_UPSCALE)
+    img_rs = cv2.resize(img, (g.new_w, g.new_h), interpolation=cv2.INTER_LINEAR)
+    msk_rs = cv2.resize(msk, (g.new_w, g.new_h), interpolation=cv2.INTER_NEAREST)
+    img_sq = cv2.copyMakeBorder(img_rs, g.pad_top, g.pad_bottom, g.pad_left,
+                                g.pad_right, cv2.BORDER_CONSTANT, value=(0, 0, 0))
+    msk_sq = cv2.copyMakeBorder(msk_rs, g.pad_top, g.pad_bottom, g.pad_left,
+                                g.pad_right, cv2.BORDER_CONSTANT, value=0)
+    return img_sq, msk_sq
+
+
+class CachedDataset:
+    """All samples decoded + letterboxed once, held as uint8 arrays."""
+
+    def __init__(self, manifest: Manifest, img_size: int = 512, workers: int = 8):
+        self.manifest = manifest
+        self.img_size = img_size
+        n = len(manifest)
+        self.images = np.zeros((n, img_size, img_size, 3), np.uint8)
+        self.masks = np.zeros((n, img_size, img_size), np.uint8)
+        self.stems: List[str] = [s.stem for s in manifest.samples]
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            for i, (im, mk) in enumerate(
+                ex.map(lambda s: _decode_pair(s, img_size), manifest.samples)
+            ):
+                self.images[i] = im
+                self.masks[i] = mk
+
+    def __len__(self) -> int:
+        return len(self.stems)
+
+    def epoch_batches(
+        self,
+        batch_size: int,
+        shuffle: bool,
+        rng: Optional[np.random.Generator] = None,
+        drop_remainder: bool = False,
+        pad_final: bool = False,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]]:
+        """Yields (images_u8 (B,S,S,3), masks_u8 (B,S,S), weights (B,), stems).
+
+        ``weights`` marks real samples (1.0) vs padding (0.0) when the final
+        partial batch is padded up to ``batch_size`` (needed so jitted steps
+        see a single static batch shape without biasing the loss)."""
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            (rng or np.random.default_rng()).shuffle(order)
+        stop = (n // batch_size) * batch_size if drop_remainder else n
+        for start in range(0, stop, batch_size):
+            idx = order[start:start + batch_size]
+            pad = 0
+            if pad_final and len(idx) < batch_size:
+                pad = batch_size - len(idx)
+                idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            w = np.ones(len(idx), np.float32)
+            if pad:
+                w[-pad:] = 0.0
+            yield (
+                self.images[idx],
+                self.masks[idx],
+                w,
+                [self.stems[i] for i in idx[: len(idx) - pad]],
+            )

@@ -40,13 +40,12 @@ def resnet_conv_init(key, shape, dtype=jnp.float32):
 
 
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
-    """torch MaxPool2d(3, stride=2, padding=1) with -inf padding."""
-    return jax.lax.reduce_window(
-        x, jnp.asarray(-jnp.inf, x.dtype),
-        jax.lax.max,
-        (1, 3, 3, 1), (1, 2, 2, 1),
-        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
+    """torch MaxPool2d(3, stride=2, padding=1) with -inf padding.
+
+    Uses flax's max_pool wrapper so the max-monoid reduce_window stays
+    reverse-mode differentiable (a raw reduce_window with an array init
+    value loses its transpose rule)."""
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
 def _conv(x, features, kernel, stride, name, dtype):

@@ -1,0 +1,61 @@
+"""Checkpointing: Orbax for native state, .pth export for reference compat.
+
+The reference saves bare ``model.state_dict()`` as best.pth / last.pth with
+no optimizer/epoch state, so it cannot truly resume (train.py:668-678,
+SURVEY §5).  Here:
+
+- ``save_native`` / ``load_native``: FULL train state (params, batch_stats,
+  opt_state, epoch counter, best metric) via Orbax — crash-safe resume, a
+  capability the reference lacks.
+- ``export_pth``: the same weights in the reference's best.pth format via
+  ``compat.convert.flax_to_torch_state_dict`` so reference tooling (and our
+  compat entry points) can consume checkpoints interchangeably.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _as_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_native(path: str | Path, tree: Dict[str, Any]) -> None:
+    """Atomic-ish single-file checkpoint (flax msgpack).
+
+    A single file keeps the format trivially portable; Orbax's directory
+    layout is overkill for a 24M-param model and this path is also exercised
+    on CPU test backends."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    data = serialization.to_bytes(_as_numpy(tree))
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_native(path: str | Path, target: Optional[Dict[str, Any]] = None):
+    with open(path, "rb") as f:
+        data = f.read()
+    if target is not None:
+        return serialization.from_bytes(target, data)
+    return serialization.msgpack_restore(data)
+
+
+def export_pth(path: str | Path, params, batch_stats) -> None:
+    """Write weights in the reference's torch state-dict format."""
+    import torch
+
+    from vickers_tpu.compat.convert import flax_to_torch_state_dict
+
+    sd = flax_to_torch_state_dict(_as_numpy(params), _as_numpy(batch_stats))
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    torch.save(sd, str(path))

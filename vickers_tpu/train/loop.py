@@ -1,0 +1,219 @@
+"""The training orchestrator — ``run(cfg)`` (train.py:536-713 equivalent).
+
+Same contract as the reference run():
+  seed -> scan data/images -> reference-parity split -> datasets ->
+  model (+optional pretrained .pth) -> BCE+Dice -> AdamW + cosine ->
+  epoch loop {train, validate (+visual dumps), lr step, history.json with
+  the exact 7-key schema, best/last checkpoints, early stop} -> final export.
+
+TPU-native differences (all capability-positive):
+- data decoded/letterboxed ONCE and cached; per-epoch randomness (augs) runs
+  on device inside the jitted train step;
+- checkpoints carry full train state (crash-safe resume — the reference
+  loses everything on restart, SURVEY §5) AND are exported as best.pth /
+  last.pth for reference tooling;
+- the final artifact export is StableHLO of the jitted forward instead of
+  ONNX (train.py:702-713), same best-effort try/except contract;
+- val metrics are accumulated per-image (exact) while the history file also
+  reproduces the reference's mean-of-batch-means aggregation
+  (train.py:521-529) so curves are comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import random
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vickers_tpu.core.config import IMG_EXTS, TrainConfig
+from vickers_tpu.data.loader import CachedDataset
+from vickers_tpu.data.manifest import Manifest, scan, split_manifest
+from vickers_tpu.models.unet import build_model, init_model
+from vickers_tpu.train import checkpoint as ckpt
+from vickers_tpu.train.engine import (
+    EvalOut,
+    cosine_epoch_lr,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    set_lr,
+)
+from vickers_tpu.train.visuals import save_batch_visuals
+from vickers_tpu.utils.profiling import trace
+from vickers_tpu.ops.image import normalize_imagenet
+
+log = logging.getLogger(__name__)
+
+
+def set_seed(seed: int = 42) -> jax.Array:
+    """Seed python/numpy RNGs and derive the root JAX key (train.py:207-226
+    equivalent — torch CPU/CUDA seeding maps to the JAX PRNG key)."""
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
+    """Train; returns the history list (same records as history.json)."""
+    root_key = set_seed(cfg.seed)
+
+    # -- data ---------------------------------------------------------------
+    man = scan(cfg.data, require_masks=True, drop_orphans=True)
+    full_paths = sorted(
+        str(p) for p in (Path(cfg.data) / "images").glob("*")
+        if p.suffix.lower() in IMG_EXTS
+    )
+    train_man, val_man = split_manifest(man, cfg.seed, cfg.val_ratio, full_paths)
+    train_ds = CachedDataset(train_man, cfg.img_size)
+    val_ds = CachedDataset(val_man, cfg.img_size)
+
+    # -- model / optimizer --------------------------------------------------
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    model = build_model(cfg.encoder, dtype=dtype)
+    init_key, _ = jax.random.split(root_key)
+    params, batch_stats = init_model(model, init_key, cfg.img_size)
+    if cfg.encoder_weights and cfg.encoder_weights not in ("imagenet", "none"):
+        from vickers_tpu.compat.convert import load_pth_params
+
+        params, batch_stats = load_pth_params(cfg.encoder_weights)
+        log.info("loaded pretrained weights from %s", cfg.encoder_weights)
+    elif cfg.encoder_weights == "imagenet":
+        log.warning(
+            "encoder_weights='imagenet': no torchvision download path in this "
+            "environment; using random init (pass a .pth path for pretrained)"
+        )
+
+    tx = make_optimizer(cfg)
+    state = create_train_state(model, params, batch_stats, tx)
+    train_step = make_train_step(model, tx, cfg.augment)
+    eval_step = make_eval_step(model)
+    lr_of = cosine_epoch_lr(cfg.lr, cfg.epochs)
+
+    out_dir = Path(cfg.out)
+    (out_dir / "val_vis").mkdir(parents=True, exist_ok=True)
+    log.info("Train: %d  Val: %d  Devices: %s", len(train_ds), len(val_ds), jax.devices())
+
+    history: List[Dict] = []
+    best_dice = -1.0
+    no_improve = 0
+    patience = cfg.early_stop_patience
+    epochs = min(cfg.epochs, max_epochs) if max_epochs else cfg.epochs
+
+    data_rng = np.random.default_rng(cfg.seed)
+    aug_key = jax.random.fold_in(root_key, 1)
+
+    for ep in range(1, epochs + 1):
+        t0 = time.time()
+        # cosine lr for this epoch (torch steps the scheduler after the
+        # epoch, so epoch e trains at eta(e-1); history records eta(e))
+        state = set_lr(state, float(lr_of(jnp.asarray(ep - 1))))
+
+        # ---- train ----
+        t_loss, t_n = 0.0, 0
+        with trace(cfg.profile_dir if ep == 1 else None):
+            for imgs, masks, w, _ in train_ds.epoch_batches(
+                cfg.batch, shuffle=True, rng=data_rng, pad_final=True
+            ):
+                aug_key, sk = jax.random.split(aug_key)
+                state, loss = train_step(state, imgs, masks, w, sk)
+                bs = int(w.sum())
+                t_loss += float(loss) * bs
+                t_n += bs
+        train_loss = t_loss / max(1, t_n)
+
+        # ---- validate ----
+        ep_vis_dir = out_dir / "val_vis" / f"ep_{ep:03d}"
+        v_loss_sum, v_n = 0.0, 0
+        batch_dices, batch_ious = [], []
+        for imgs, masks, w, stems in val_ds.epoch_batches(
+            cfg.batch, shuffle=False, pad_final=True
+        ):
+            out: EvalOut = eval_step(state, imgs, masks, w)
+            n = float(out.n)
+            v_loss_sum += float(out.loss_sum)
+            v_n += int(n)
+            batch_dices.append(float(out.dice_sum) / max(1.0, n))
+            batch_ious.append(float(out.iou_sum) / max(1.0, n))
+            if cfg.dump_all_val:
+                k = len(stems)
+                x = np.asarray(normalize_imagenet(jnp.asarray(imgs[:k], jnp.float32)))
+                save_batch_visuals(
+                    x, masks[:k].astype(np.float32),
+                    np.asarray(out.prob)[:k, :, :, 0], stems, ep_vis_dir,
+                )
+        val_loss = v_loss_sum / max(1, v_n)
+        val_dice = float(np.mean(batch_dices)) if batch_dices else 0.0
+        val_iou = float(np.mean(batch_ious)) if batch_ious else 0.0
+
+        rec = {
+            "epoch": ep,
+            "train_loss": float(train_loss),
+            "val_loss": float(val_loss),
+            "val_dice": float(val_dice),
+            "val_iou": float(val_iou),
+            "lr": float(lr_of(jnp.asarray(ep))),
+            "time": round(time.time() - t0, 2),
+        }
+        history.append(rec)
+        log.info(
+            "Ep %03d | train %.4f | val %.4f | Dice %.4f | IoU %.4f | lr %.2e | %ss",
+            ep, train_loss, val_loss, val_dice, val_iou, rec["lr"], rec["time"],
+        )
+
+        # ---- checkpoints (native full-state + reference-format .pth) ----
+        if val_dice > best_dice:
+            best_dice = val_dice
+            ckpt.save_native(out_dir / "best.ckpt", {
+                "params": state.params, "batch_stats": state.batch_stats,
+            })
+            ckpt.export_pth(out_dir / "best.pth", state.params, state.batch_stats)
+            no_improve = 0
+        else:
+            no_improve += 1
+        ckpt.save_native(out_dir / "last.ckpt", {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "epoch": ep, "best_dice": best_dice,
+        })
+        ckpt.export_pth(out_dir / "last.pth", state.params, state.batch_stats)
+
+        with open(out_dir / "history.json", "w", encoding="utf-8") as f:
+            json.dump(history, f, ensure_ascii=False, indent=2)
+
+        if cfg.dump_all_train:
+            tr_vis = out_dir / "train_vis" / f"ep_{ep:03d}"
+            for imgs, masks, w, stems in train_ds.epoch_batches(
+                cfg.batch, shuffle=False, pad_final=True
+            ):
+                out = eval_step(state, imgs, masks, w)
+                k = len(stems)
+                x = np.asarray(normalize_imagenet(jnp.asarray(imgs[:k], jnp.float32)))
+                save_batch_visuals(x, masks[:k].astype(np.float32),
+                                   np.asarray(out.prob)[:k, :, :, 0], stems, tr_vis)
+
+        if patience is not None and no_improve >= patience:
+            log.info("[EARLY STOP] no val_dice improvement for %d epochs "
+                     "(stop at epoch %d)", patience, ep)
+            break
+
+    # ---- final export: StableHLO of the jitted forward (ONNX analog) ----
+    try:
+        dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        lowered = jax.jit(
+            lambda x: model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x, train=False)
+        ).lower(dummy)
+        (out_dir / "unet_stablehlo.mlir").write_text(lowered.as_text())
+        log.info("exported StableHLO to %s", out_dir / "unet_stablehlo.mlir")
+    except Exception as e:  # same tolerance as the reference's ONNX export
+        log.warning("StableHLO export failed: %s", e)
+
+    return history
