@@ -1,0 +1,67 @@
+"""Quantization subsystem: BN fold correctness + int8 PTQ accuracy."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vickers_tpu.models.unet import VickersUNet, build_model, init_model
+from vickers_tpu.ops.image import normalize_imagenet
+from vickers_tpu.quant import calibrate, fold_bn, folded_forward, quant_forward, quantize
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = build_model(dtype=jnp.float32)
+    params, stats = init_model(model, jax.random.PRNGKey(0), img_size=64)
+    # randomize BN stats so folding is non-trivial
+    stats = jax.tree.map(
+        lambda x: x + 0.3 * jax.random.uniform(jax.random.PRNGKey(1), x.shape),
+        stats)
+    return model, params, stats
+
+
+def _imgs(n=2, s=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, s, s, 3)).astype(np.uint8)
+
+
+def test_fold_bn_matches_flax_eval(model_and_vars):
+    model, params, stats = model_and_vars
+    x = normalize_imagenet(jnp.asarray(_imgs()))
+    ref = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+    folded = fold_bn(params, stats)
+    out = folded_forward(folded, x)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 2e-4
+
+
+def test_quantized_forward_close_to_f32(model_and_vars):
+    model, params, stats = model_and_vars
+    calib = normalize_imagenet(jnp.asarray(_imgs(4, seed=1)))
+    folded, absmax = calibrate(params, stats, calib)
+    qp = quantize(folded, absmax)
+
+    x = normalize_imagenet(jnp.asarray(_imgs(2, seed=2)))
+    ref = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                 x, train=False))
+    out = np.asarray(jax.jit(quant_forward)(qp, x))
+    # logits differ, but the thresholded masks must agree almost everywhere
+    m_ref = ref > 0
+    m_out = out > 0
+    iou = (m_ref & m_out).sum() / max(1, (m_ref | m_out).sum())
+    assert iou > 0.95, iou
+    # and logits are in the same ballpark
+    assert np.abs(out - ref).mean() < 0.25 * (np.abs(ref).mean() + 1e-3)
+
+
+def test_quant_weight_ranges(model_and_vars):
+    _, params, stats = model_and_vars
+    folded = fold_bn(params, stats)
+    qp = quantize(folded, {k: 1.0 for k in folded})
+    for name, q in qp.convs.items():
+        w = np.asarray(q.w_int8)
+        assert w.dtype == np.int8
+        assert w.min() >= -127 and w.max() <= 127
+        # at least one channel saturates (absmax scaling)
+        assert np.abs(w).max() == 127, name

@@ -69,15 +69,9 @@ def predict_mask(engine: InferenceEngine, img_bgr: np.ndarray) -> np.ndarray:
     h, w = img_bgr.shape[:2]
     from vickers_tpu.ops import image as I
     import jax.numpy as jnp
-    import jax
 
     geom = I.letterbox_geometry(h, w, engine.img_size, LetterboxMode.CORNER_UPSCALE)
-    rgb = jnp.asarray(img_bgr[:, :, ::-1], jnp.float32)
-
-    sq = I.letterbox_apply(rgb, geom)
-    x = I.normalize_imagenet(sq)
-    logits = engine.model.apply(engine._variables(), x[None], train=False)[0, :, :, 0]
-    prob = np.asarray(jax.nn.sigmoid(logits))
+    prob = engine.infer_square(img_bgr, LetterboxMode.CORNER_UPSCALE)
     mask512 = (prob >= THRESH).astype(np.uint8) * 255
     return np.asarray(I.unletterbox(jnp.asarray(mask512), geom, nearest=True))
 

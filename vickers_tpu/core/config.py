@@ -153,6 +153,9 @@ class TrainConfig:
     donate: bool = True
     log_every: int = 0                  # 0 = per-epoch printing only
     profile_dir: Optional[str] = None   # jax.profiler trace of epoch 1
+    checkpoint_every: int = 1           # write last.ckpt/.pth every N epochs
+                                        # (1 == reference behavior; raise to
+                                        # amortize host serialization)
 
 
 def rect_compat_postprocess() -> PostprocessConfig:

@@ -168,6 +168,30 @@ class InferenceEngine:
         return fn
 
     @functools.lru_cache(maxsize=32)
+    def _prob_square_fn(self, geom: I.LetterboxGeometry):
+        """prob map at the SQUARE (model) resolution — the quick-viewer path
+        thresholds before unletterboxing (infer_pth_gui.py:45-53)."""
+        model = self.model
+
+        @jax.jit
+        def fn(variables, img_rgb_f32):
+            sq = I.letterbox_apply(img_rgb_f32, geom)
+            x = I.normalize_imagenet(sq)
+            logits = model.apply(variables, x[None], train=False)[0, :, :, 0]
+            return jax.nn.sigmoid(logits)
+
+        return fn
+
+    def infer_square(self, img_bgr: np.ndarray,
+                     letterbox: Optional[LetterboxMode] = None) -> np.ndarray:
+        """(S, S) prob map before unletterboxing."""
+        h, w = img_bgr.shape[:2]
+        geom = I.letterbox_geometry(
+            h, w, self.img_size, letterbox or self.cfg.letterbox)
+        rgb = jnp.asarray(img_bgr[:, :, ::-1], jnp.float32)
+        return np.asarray(self._prob_square_fn(geom)(self._variables(), rgb))
+
+    @functools.lru_cache(maxsize=32)
     def _detect_fn(self, geom: I.LetterboxGeometry, post: PostprocessConfig,
                    hv: HVConfig):
         model = self.model

@@ -117,31 +117,29 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
         state = set_lr(state, float(lr_of(jnp.asarray(ep - 1))))
 
         # ---- train ----
-        t_loss, t_n = 0.0, 0
+        # losses stay on device; ONE host fetch per epoch (each float() is a
+        # full round trip through the TPU tunnel)
+        losses, counts = [], []
         with trace(cfg.profile_dir if ep == 1 else None):
             for imgs, masks, w, _ in train_ds.epoch_batches(
                 cfg.batch, shuffle=True, rng=data_rng, pad_final=True
             ):
                 aug_key, sk = jax.random.split(aug_key)
                 state, loss = train_step(state, imgs, masks, w, sk)
-                bs = int(w.sum())
-                t_loss += float(loss) * bs
-                t_n += bs
-        train_loss = t_loss / max(1, t_n)
+                losses.append(loss)
+                counts.append(w.sum())
+        counts = np.asarray(counts, np.float64)
+        train_loss = float(np.dot(np.asarray(jnp.stack(losses), np.float64), counts)
+                           / max(1.0, counts.sum()))
 
         # ---- validate ----
         ep_vis_dir = out_dir / "val_vis" / f"ep_{ep:03d}"
-        v_loss_sum, v_n = 0.0, 0
-        batch_dices, batch_ious = [], []
+        evals = []
         for imgs, masks, w, stems in val_ds.epoch_batches(
             cfg.batch, shuffle=False, pad_final=True
         ):
             out: EvalOut = eval_step(state, imgs, masks, w)
-            n = float(out.n)
-            v_loss_sum += float(out.loss_sum)
-            v_n += int(n)
-            batch_dices.append(float(out.dice_sum) / max(1.0, n))
-            batch_ious.append(float(out.iou_sum) / max(1.0, n))
+            evals.append(out)
             if cfg.dump_all_val:
                 k = len(stems)
                 x = np.asarray(normalize_imagenet(jnp.asarray(imgs[:k], jnp.float32)))
@@ -149,9 +147,15 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
                     x, masks[:k].astype(np.float32),
                     np.asarray(out.prob)[:k, :, :, 0], stems, ep_vis_dir,
                 )
-        val_loss = v_loss_sum / max(1, v_n)
-        val_dice = float(np.mean(batch_dices)) if batch_dices else 0.0
-        val_iou = float(np.mean(batch_ious)) if batch_ious else 0.0
+        ls = np.asarray(jnp.stack([e.loss_sum for e in evals]), np.float64)
+        ds = np.asarray(jnp.stack([e.dice_sum for e in evals]), np.float64)
+        is_ = np.asarray(jnp.stack([e.iou_sum for e in evals]), np.float64)
+        ns = np.asarray(jnp.stack([e.n for e in evals]), np.float64)
+        val_loss = float(ls.sum() / max(1.0, ns.sum()))
+        # reference aggregation: mean over batches of batch means
+        # (train.py:521-529)
+        val_dice = float(np.mean(ds / np.maximum(ns, 1.0)))
+        val_iou = float(np.mean(is_ / np.maximum(ns, 1.0)))
 
         rec = {
             "epoch": ep,
@@ -178,11 +182,12 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
             no_improve = 0
         else:
             no_improve += 1
-        ckpt.save_native(out_dir / "last.ckpt", {
-            "params": state.params, "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state, "epoch": ep, "best_dice": best_dice,
-        })
-        ckpt.export_pth(out_dir / "last.pth", state.params, state.batch_stats)
+        if ep % max(1, cfg.checkpoint_every) == 0 or ep == epochs:
+            ckpt.save_native(out_dir / "last.ckpt", {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "epoch": ep, "best_dice": best_dice,
+            })
+            ckpt.export_pth(out_dir / "last.pth", state.params, state.batch_stats)
 
         with open(out_dir / "history.json", "w", encoding="utf-8") as f:
             json.dump(history, f, ensure_ascii=False, indent=2)
