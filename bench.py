@@ -43,24 +43,42 @@ def main() -> None:
 
     batch = 64
     size = 512
+    use_int8 = os.environ.get("VICKERS_BENCH_QUANT", "1") not in ("0", "false")
     model = build_model(dtype=jnp.bfloat16)
     params, stats = init_model(model, jax.random.PRNGKey(0), img_size=size)
     variables = {"params": params, "batch_stats": stats}
     post = PostprocessConfig()
     hv = HVConfig(force_kgf=0.3, um_per_px=2.0)
 
+    qparams = None
+    if use_int8:
+        from vickers_tpu.quant import calibrate, quantize
+
+        rngq = np.random.default_rng(7)
+        calib = normalize_imagenet(jnp.asarray(
+            rngq.integers(0, 256, (8, size, size, 3)).astype(np.float32)))
+        folded, absmax = calibrate(params, stats, calib)
+        qparams = quantize(folded, absmax)
+
     @jax.jit
-    def pipeline(variables, imgs_u8, salt):
+    def pipeline(weights, imgs_u8, salt):
         # fold the previous iteration's checksum into the input: builds a
         # serial dependency chain across iterations
         imgs_u8 = imgs_u8 + salt.astype(jnp.uint8)
         x = normalize_imagenet(imgs_u8.astype(jnp.float32), jnp.bfloat16)
-        logits = model.apply(variables, x, train=False)[..., 0]
+        if use_int8:
+            from vickers_tpu.quant import quant_forward
+
+            logits = quant_forward(weights, x.astype(jnp.float32))[..., 0]
+        else:
+            logits = model.apply(weights, x, train=False)[..., 0]
         probs = jax.nn.sigmoid(logits)
         res = jax.vmap(lambda p: postprocess(p, post, hv))(probs)
         d = res.detections
         checksum = jnp.sum(d.d_mean) + jnp.sum(d.valid)
         return d.valid, d.d_mean, d.hv, checksum
+
+    weights = qparams if use_int8 else variables
 
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (batch, size, size, 3)).astype(np.uint8)
@@ -68,13 +86,13 @@ def main() -> None:
 
     # warmup + compile (fetch forces execution)
     salt = jnp.float32(0.0)
-    *_, salt = pipeline(variables, imgs_dev, salt)
+    *_, salt = pipeline(weights, imgs_dev, salt)
     float(salt)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        *_, salt = pipeline(variables, imgs_dev, salt % 3.0)
+        *_, salt = pipeline(weights, imgs_dev, salt % 3.0)
     final = float(salt)  # host fetch: the whole chain must have executed
     dt = time.perf_counter() - t0
     assert np.isfinite(final)
@@ -82,7 +100,7 @@ def main() -> None:
     ips = batch * iters / dt
     baseline = 4.5  # reference single-stream 512^2-equivalent img/s
     print(json.dumps({
-        "metric": "512px_images_per_sec_per_chip_e2e_hv",
+        "metric": "512px_images_per_sec_per_chip_e2e_hv" + ("_int8" if use_int8 else ""),
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / baseline, 2),

@@ -137,3 +137,19 @@ def test_cli_infer_with_pth(tmp_path, capsys):
     recs = json.loads(out.strip().splitlines()[-1])
     assert recs[0]["image"] == str(img_p)
     assert "detections" in recs[0]
+
+
+def test_convergence_summary_on_reference_history():
+    from pathlib import Path
+
+    from vickers_tpu.utils.history import convergence_summary, load_history
+
+    ref = Path("/root/reference/runs/unet_r34_512/history.json")
+    if not ref.exists():
+        pytest.skip("reference history unavailable")
+    s = convergence_summary(load_history(ref))
+    # the SURVEY §6 numbers
+    assert abs(s["best_val_dice"] - 0.97291) < 1e-4
+    assert s["best_epoch"] == 202
+    assert abs(s["best_val_iou"] - 0.94765) < 1e-4
+    assert abs(s["mean_epoch_time_s"] - 8.5) < 0.5

@@ -109,3 +109,20 @@ def test_early_stopping(tiny_data, tmp_path):
     history = run(cfg)
     # lr=0: no improvement after epoch 1 -> stops at epoch 2
     assert len(history) <= 3
+
+
+def test_resume_continues_training(tiny_data, tmp_path):
+    import dataclasses
+
+    cfg = _cfg(tiny_data, tmp_path, epochs=2)
+    run(cfg)
+    hist1 = json.loads((Path(cfg.out) / "history.json").read_text())
+    assert len(hist1) == 2
+    # resume to epoch 4
+    cfg2 = dataclasses.replace(cfg, epochs=4, resume=True)
+    hist2 = run(cfg2)
+    assert [h["epoch"] for h in hist2] == [1, 2, 3, 4]
+    # first two records preserved from the original run
+    assert hist2[0]["train_loss"] == hist1[0]["train_loss"]
+    on_disk = json.loads((Path(cfg.out) / "history.json").read_text())
+    assert on_disk == hist2

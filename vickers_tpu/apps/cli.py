@@ -40,6 +40,10 @@ def _add_train(sub):
     p.add_argument("--early-stop-patience", type=int, default=None)
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--resume", action="store_true",
+                   help="continue from <out>/last.ckpt (full train state)")
+    p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--profile-dir", default=None)
 
 
 def _add_infer(sub):
@@ -79,6 +83,8 @@ def _cmd_train(args) -> int:
         dump_all_train=args.dump_all_train,
         early_stop_patience=args.early_stop_patience,
         model=ModelConfig(encoder=args.encoder, compute_dtype=args.compute_dtype),
+        resume=args.resume, checkpoint_every=args.checkpoint_every,
+        profile_dir=args.profile_dir,
     )
     run(cfg)
     return 0

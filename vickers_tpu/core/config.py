@@ -156,6 +156,7 @@ class TrainConfig:
     checkpoint_every: int = 1           # write last.ckpt/.pth every N epochs
                                         # (1 == reference behavior; raise to
                                         # amortize host serialization)
+    resume: bool = False                # continue from <out>/last.ckpt
 
 
 def rect_compat_postprocess() -> PostprocessConfig:

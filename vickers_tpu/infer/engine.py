@@ -221,6 +221,30 @@ class InferenceEngine:
 
         return fn
 
+    # -- int8 quantized serving (see vickers_tpu.quant) ---------------------
+    def enable_quant(self, calib_imgs_u8: np.ndarray) -> None:
+        """Calibrate + quantize from (N, S, S, 3) uint8 RGB samples.
+        Subsequent ``detect_batch(..., quantized=True)`` runs int8 convs."""
+        from vickers_tpu.quant import calibrate, quantize
+
+        calib = I.normalize_imagenet(jnp.asarray(calib_imgs_u8, jnp.float32))
+        folded, absmax = calibrate(self.params, self.batch_stats, calib)
+        self.qparams = quantize(folded, absmax)
+
+    @functools.lru_cache(maxsize=8)
+    def _batch_fn_quant(self, size: int, post: PostprocessConfig, hv: HVConfig):
+        from vickers_tpu.quant import quant_forward
+
+        @jax.jit
+        def fn(qparams, imgs_u8):
+            x = I.normalize_imagenet(imgs_u8.astype(jnp.float32))
+            logits = quant_forward(qparams, x)[..., 0]
+            probs = jax.nn.sigmoid(logits)
+            res = jax.vmap(lambda p: postprocess(p, post, hv))(probs)
+            return probs, res
+
+        return fn
+
     def _variables(self):
         return {"params": self.params, "batch_stats": self.batch_stats}
 
@@ -245,9 +269,15 @@ class InferenceEngine:
         )
         return np.asarray(prob), _rescale_detections(res.detections, geom, self.cfg.hv)
 
-    def detect_batch(self, imgs_rgb_u8: np.ndarray):
+    def detect_batch(self, imgs_rgb_u8: np.ndarray, quantized: bool = False):
         """Serving path: (B, S, S, 3) uint8 RGB already letterboxed ->
-        (probs (B, S, S), device Detections with leading batch axis)."""
+        (probs (B, S, S), device Detections with leading batch axis).
+        ``quantized=True`` requires a prior ``enable_quant`` call."""
+        if quantized:
+            if getattr(self, "qparams", None) is None:
+                raise RuntimeError("call enable_quant(calib_images) first")
+            fn = self._batch_fn_quant(imgs_rgb_u8.shape[1], self.cfg.post, self.cfg.hv)
+            return fn(self.qparams, jnp.asarray(imgs_rgb_u8))
         fn = self._batch_fn(imgs_rgb_u8.shape[1], self.cfg.post, self.cfg.hv)
         return fn(self._variables(), jnp.asarray(imgs_rgb_u8))
 

@@ -104,13 +104,31 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
     history: List[Dict] = []
     best_dice = -1.0
     no_improve = 0
+    start_ep = 1
     patience = cfg.early_stop_patience
     epochs = min(cfg.epochs, max_epochs) if max_epochs else cfg.epochs
 
-    data_rng = np.random.default_rng(cfg.seed)
-    aug_key = jax.random.fold_in(root_key, 1)
+    # true crash-safe resume (no reference equivalent, SURVEY §5): restore
+    # params, optimizer state, epoch counter, best metric and history
+    if cfg.resume and (out_dir / "last.ckpt").exists():
+        tree = ckpt.load_native(out_dir / "last.ckpt", {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "epoch": 0, "best_dice": 0.0,
+        })
+        state = state.replace(
+            params=tree["params"], batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"])
+        start_ep = int(tree["epoch"]) + 1
+        best_dice = float(tree["best_dice"])
+        hist_file = out_dir / "history.json"
+        if hist_file.exists():
+            history = json.loads(hist_file.read_text())[: start_ep - 1]
+        log.info("resumed from epoch %d (best dice %.4f)", start_ep - 1, best_dice)
 
-    for ep in range(1, epochs + 1):
+    data_rng = np.random.default_rng(cfg.seed + start_ep - 1)
+    aug_key = jax.random.fold_in(root_key, start_ep)
+
+    for ep in range(start_ep, epochs + 1):
         t0 = time.time()
         # cosine lr for this epoch (torch steps the scheduler after the
         # epoch, so epoch e trains at eta(e-1); history records eta(e))

@@ -100,3 +100,39 @@ def plot_curves(history: Sequence[Dict], out_path: str | Path = "curves.png",
     if show:
         plt.show()
     plt.close(fig)
+
+
+def convergence_summary(history: Sequence[Dict]) -> Dict[str, float]:
+    """Convergence envelope of a run: best/final metrics and epochs-to-
+    threshold, the comparison basis against the reference's committed curves
+    (runs/unet_r34_512/history{,_0}.json — SURVEY §6)."""
+    dices = [r.get("val_dice", 0.0) for r in history]
+    ious = [r.get("val_iou", 0.0) for r in history]
+    best_i = int(max(range(len(dices)), key=lambda i: dices[i]))
+
+    def epochs_to(th: float) -> Optional[int]:
+        for i, d in enumerate(dices):
+            if d >= th:
+                return i + 1
+        return None
+
+    return {
+        "epochs": len(history),
+        "best_val_dice": dices[best_i],
+        "best_epoch": best_i + 1,
+        "best_val_iou": ious[best_i],
+        "final_val_dice": dices[-1],
+        "final_val_iou": ious[-1],
+        "epochs_to_0.90": epochs_to(0.90),
+        "epochs_to_0.95": epochs_to(0.95),
+        "epochs_to_0.97": epochs_to(0.97),
+        "mean_epoch_time_s": float(sum(r.get("time", 0.0) for r in history))
+        / max(1, len(history)),
+    }
+
+
+def compare_runs(ours: Sequence[Dict], reference: Sequence[Dict]) -> Dict:
+    return {
+        "ours": convergence_summary(ours),
+        "reference": convergence_summary(reference),
+    }
