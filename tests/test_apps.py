@@ -153,3 +153,26 @@ def test_convergence_summary_on_reference_history():
     assert s["best_epoch"] == 202
     assert abs(s["best_val_iou"] - 0.94765) < 1e-4
     assert abs(s["mean_epoch_time_s"] - 8.5) < 0.5
+
+
+def test_cli_infer_batched(tmp_path, capsys):
+    import cv2
+    import torch
+
+    from vickers_tpu.apps.cli import main
+    from vickers_tpu.compat.torch_ref import build_torch_model
+
+    torch.manual_seed(0)
+    torch.save(build_torch_model().state_dict(), tmp_path / "best.pth")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.png"
+        cv2.imwrite(str(p), rng.integers(0, 256, (96, 128, 3), np.uint8))
+        paths.append(str(p))
+    rc = main(["infer", "--model-dir", str(tmp_path), "--img-size", "64",
+               "--batched", "--json", *paths])
+    assert rc == 0
+    recs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(recs) == 3
+    assert all(r["image"] in paths for r in recs)

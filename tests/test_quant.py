@@ -65,3 +65,31 @@ def test_quant_weight_ranges(model_and_vars):
         assert w.min() >= -127 and w.max() <= 127
         # at least one channel saturates (absmax scaling)
         assert np.abs(w).max() == 127, name
+
+
+def test_engine_quantized_detect_batch(model_and_vars):
+    from vickers_tpu.core.config import InferConfig
+    from vickers_tpu.infer.engine import InferenceEngine
+
+    model, params, stats = model_and_vars
+    eng = InferenceEngine(config=InferConfig(img_size=64), params=params,
+                          batch_stats=stats, dtype=jnp.float32)
+    imgs = _imgs(4, seed=5)
+    eng.enable_quant(imgs)
+    probs_q, res_q = eng.detect_batch(imgs, quantized=True)
+    probs_f, res_f = eng.detect_batch(imgs)
+    pq, pf = np.asarray(probs_q), np.asarray(probs_f)
+    m_q, m_f = pq > 0.5, pf > 0.5
+    iou = (m_q & m_f).sum() / max(1, (m_q | m_f).sum())
+    assert iou > 0.95 or (m_q.sum() + m_f.sum()) == 0
+
+
+def test_detect_batch_quant_requires_calibration(model_and_vars):
+    from vickers_tpu.core.config import InferConfig
+    from vickers_tpu.infer.engine import InferenceEngine
+
+    model, params, stats = model_and_vars
+    eng = InferenceEngine(config=InferConfig(img_size=64), params=params,
+                          batch_stats=stats, dtype=jnp.float32)
+    with pytest.raises(RuntimeError):
+        eng.detect_batch(_imgs(1), quantized=True)

@@ -59,6 +59,12 @@ def _add_infer(sub):
     p.add_argument("--save-vis", default=None,
                    help="directory for annotated output images")
     p.add_argument("--json", dest="as_json", action="store_true")
+    p.add_argument("--batched", action="store_true",
+                   help="serving mode: decode+letterbox all images (native "
+                        "C++ loader when built), run one batched TPU pass")
+    p.add_argument("--int8", action="store_true",
+                   help="with --batched: int8-quantized forward (PTQ, "
+                        "calibrated on the inputs)")
 
 
 def _add_plot(sub):
@@ -114,6 +120,9 @@ def _cmd_infer(args) -> int:
         return 2
     tiled = TiledEngine(engine) if args.tiled else None
 
+    if args.batched:
+        return _infer_batched(args, engine)
+
     results = []
     for path in args.images:
         img = cv2.imread(path, cv2.IMREAD_COLOR)
@@ -149,6 +158,55 @@ def _cmd_infer(args) -> int:
             out_dir.mkdir(parents=True, exist_ok=True)
             vis = draw_detections(img, dets)
             cv2.imwrite(str(out_dir / (Path(path).stem + "_det.jpg")), vis)
+    if args.as_json:
+        print(json.dumps(results))
+    return 0
+
+
+def _infer_batched(args, engine) -> int:
+    """Directory-scale serving: batch-decode (C++ loader), one jitted TPU
+    pass per chunk, detections rescaled per image."""
+    import numpy as np
+
+    from vickers_tpu import native
+    from vickers_tpu.core.config import LetterboxMode
+    from vickers_tpu.data.loader import _decode_image_letterboxed
+    from vickers_tpu.infer.engine import _rescale_detections
+    from vickers_tpu.ops.image import letterbox_geometry
+    from vickers_tpu.ops.postprocess import Detections
+
+    size = args.img_size
+    dec = native.decoder()
+    paths = list(args.images)
+    imgs = np.zeros((len(paths), size, size, 3), np.uint8)
+    hw = np.zeros((len(paths), 2), np.int32)
+    if dec is not None:
+        imgs, hw, failures = dec.decode_batch(paths, size, "center_upscale",
+                                              threads=8)
+        if failures:
+            print(f"warning: {failures} image(s) failed native decode",
+                  file=sys.stderr)
+    else:
+        for i, p in enumerate(paths):
+            imgs[i], (hw[i, 0], hw[i, 1]) = _decode_image_letterboxed(p, size)
+
+    if args.int8:
+        engine.enable_quant(imgs[: min(8, len(paths))])
+    probs, res = engine.detect_batch(imgs, quantized=args.int8)
+    results = []
+    for i, p in enumerate(paths):
+        geom = letterbox_geometry(int(hw[i, 0]), int(hw[i, 1]), size,
+                                  LetterboxMode.CENTER_UPSCALE)
+        det_i = Detections(*[x[i] for x in res.detections])
+        dets = _rescale_detections(det_i, geom, engine.cfg.hv)
+        results.append({"image": p, "detections": [
+            {"label": d.label, "area": d.area, "center": list(d.center),
+             "d1": d.d1, "d2": d.d2, "d_mean": d.d_mean, "hv": d.hv}
+            for d in dets]})
+        if not args.as_json:
+            print(f"{p}: {len(dets)} detection(s)" + "".join(
+                f"\n  #{d.label} d_mean={d.d_mean:.1f}px HV={d.hv:.1f}"
+                for d in dets))
     if args.as_json:
         print(json.dumps(results))
     return 0

@@ -100,7 +100,11 @@ def choose_images() -> List[str]:
 def main() -> int:
     import cv2
 
-    weights = sys.argv[1] if len(sys.argv) > 1 else WEIGHTS
+    # argv[1] overrides the weights path only when it looks like one
+    # (infer_pth_gui.py:94 semantics); otherwise argv holds image paths
+    weights = WEIGHTS
+    if len(sys.argv) > 1 and sys.argv[1].endswith((".pth", ".ckpt")):
+        weights = sys.argv[1]
     engine = load_model(weights)
 
     headless = not os.environ.get("DISPLAY")

@@ -51,3 +51,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (SURVEY §5 distributed plan): wraps
+    ``jax.distributed.initialize``.  On single-host TPU or CPU this is a
+    no-op; on a pod slice each host calls it before touching devices."""
+    if num_processes in (None, 0, 1):
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -26,32 +26,51 @@ from vickers_tpu.data.manifest import Manifest, Sample
 from vickers_tpu.ops.image import letterbox_geometry
 
 
+def _decode_image_letterboxed(path: str, img_size: int):
+    """RGB uint8 square via the native C++ loader when built, else cv2."""
+    from vickers_tpu import native
+
+    dec = native.decoder()
+    if dec is not None:
+        try:
+            out, (h, w) = dec.decode_letterbox(path, img_size, "center_upscale")
+            return out, (h, w)
+        except IOError:
+            pass  # fall through to cv2 (e.g. TIFF/BMP)
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    h, w = img.shape[:2]
+    g = letterbox_geometry(h, w, img_size, LetterboxMode.CENTER_UPSCALE)
+    rs = cv2.resize(img, (g.new_w, g.new_h), interpolation=cv2.INTER_LINEAR)
+    sq = cv2.copyMakeBorder(rs, g.pad_top, g.pad_bottom, g.pad_left,
+                            g.pad_right, cv2.BORDER_CONSTANT, value=(0, 0, 0))
+    return sq, (h, w)
+
+
 def _decode_pair(sample: Sample, img_size: int) -> Tuple[np.ndarray, np.ndarray]:
     """Read image (BGR->RGB, train.py:145-149) + mask (>0 -> 1, channel 0 of
     3-channel masks, train.py:162-170), apply the deterministic letterbox."""
     import cv2
 
-    img = cv2.imread(sample.image, cv2.IMREAD_COLOR)
-    if img is None:
-        raise FileNotFoundError(sample.image)
-    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    img_sq, _ = _decode_image_letterboxed(sample.image, img_size)
 
     if sample.mask is None:
-        msk = np.zeros(img.shape[:2], np.uint8)
-    else:
-        msk = cv2.imread(sample.mask, cv2.IMREAD_UNCHANGED)
-        if msk is None:
-            raise FileNotFoundError(sample.mask)
-        if msk.ndim == 3:
-            msk = msk[:, :, 0]
-        msk = (msk > 0).astype(np.uint8)
+        return img_sq, np.zeros((img_size, img_size), np.uint8)
 
-    h, w = img.shape[:2]
+    msk = cv2.imread(sample.mask, cv2.IMREAD_UNCHANGED)
+    if msk is None:
+        raise FileNotFoundError(sample.mask)
+    if msk.ndim == 3:
+        msk = msk[:, :, 0]
+    msk = (msk > 0).astype(np.uint8)
+
+    h, w = msk.shape[:2]
     g = letterbox_geometry(h, w, img_size, LetterboxMode.CENTER_UPSCALE)
-    img_rs = cv2.resize(img, (g.new_w, g.new_h), interpolation=cv2.INTER_LINEAR)
     msk_rs = cv2.resize(msk, (g.new_w, g.new_h), interpolation=cv2.INTER_NEAREST)
-    img_sq = cv2.copyMakeBorder(img_rs, g.pad_top, g.pad_bottom, g.pad_left,
-                                g.pad_right, cv2.BORDER_CONSTANT, value=(0, 0, 0))
     msk_sq = cv2.copyMakeBorder(msk_rs, g.pad_top, g.pad_bottom, g.pad_left,
                                 g.pad_right, cv2.BORDER_CONSTANT, value=0)
     return img_sq, msk_sq

@@ -2,11 +2,12 @@
 
 TPU-native replacement for ``cv2.connectedComponentsWithStats(connectivity=8)``
 (ui_infer_rectangle.py:331-338).  Sequential union-find does not map to XLA;
-instead labels are propagated to a fixpoint by hook + pointer-jumping (see
-``label_components``), the SIMD-friendly union-find used by GPU/TPU CC
-algorithms.  Labels are the maximum linear index in the component.
+instead labels are propagated to a fixpoint with 8-direction segmented
+doubling scans (see ``label_components``) — all shifted vector ops, no
+gathers/scatters, which on TPU route through the scalar core.  Labels are
+the maximum linear index in the component.
 
-Stats (areas) are computed with one scatter-add over the label image, and the
+Stats (areas) come from a sort + cummax run-length pass, and the
 top-``max_components`` components by area are selected entirely on device —
 no host sync anywhere in the pipeline.
 """
