@@ -111,8 +111,7 @@ def postprocess_minarearect_multi(
 
 
 # Reference alias: the GUI scripts construct Segmenter(model_dir, img_size)
-Segmenter = None  # assigned below to avoid import cycle confusion
-from vickers_tpu.infer.engine import Segmenter  # noqa: E402,F811
+from vickers_tpu.infer.engine import Segmenter  # noqa: E402
 
 
 def run_headless(model_dir: str, image_paths: List[str], out_dir: Optional[str],
