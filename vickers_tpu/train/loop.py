@@ -150,6 +150,18 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
         train_loss = float(np.dot(np.asarray(jnp.stack(losses), np.float64), counts)
                            / max(1.0, counts.sum()))
 
+        # failure detection (SURVEY §5: the reference has none): a NaN/Inf
+        # loss aborts with a crash checkpoint instead of silently poisoning
+        # the remaining epochs
+        if not np.isfinite(train_loss):
+            ckpt.save_native(out_dir / "crash.ckpt", {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "epoch": ep, "best_dice": best_dice,
+            })
+            raise FloatingPointError(
+                f"non-finite train loss {train_loss} at epoch {ep}; "
+                f"state saved to {out_dir / 'crash.ckpt'}")
+
         # ---- validate ----
         ep_vis_dir = out_dir / "val_vis" / f"ep_{ep:03d}"
         evals = []
