@@ -76,10 +76,29 @@ def postprocess_minarearect_multi(
     fit_outset_px: int = 0,
     fit: FitMode = FitMode.RECT,
 ) -> Tuple[np.ndarray, List[Dict]]:
-    """Reference-signature wrapper over the on-device pipeline.
+    """Reference-signature wrapper over the geometry pipeline.
 
     Returns (clean_bin uint8 0/255 at prob01's resolution, detections as the
-    reference's list-of-dicts sorted by area desc)."""
+    reference's list-of-dicts sorted by area desc).
+
+    Backend selection: the GUI flow calls this at ORIGINAL resolution (up to
+    3072x2048) where device CC is wasteful; the native C++ kernels
+    (vickers_tpu.native) handle that in tens of ms on host.  Falls back to
+    the on-device JAX pipeline when the native lib isn't built."""
+    from vickers_tpu import native
+
+    geo = native.geometry()
+    if geo is not None:
+        clean, dets = geo.postprocess(
+            prob01, bin_thresh=bin_thresh, min_area_frac=min_area_frac,
+            min_area_floor=200, morph_kernel=morph_kernel,
+            open_iter=open_iter, close_iter=close_iter,
+            fit_quad=(fit == FitMode.QUAD), fit_outset_px=fit_outset_px,
+        )
+        for d in dets:
+            d["box"] = d["box"].astype("int32")
+        return clean, dets
+
     import jax.numpy as jnp
 
     from vickers_tpu.ops.postprocess import postprocess

@@ -12,6 +12,14 @@ by the 512 letterbox.
 The whole thing (slice -> batch forward -> blend) is a single jitted
 program per image shape; geometry (ops.postprocess) then runs on the
 blended map at full resolution.
+
+IMPORTANT scale caveat (measured, round 1): a model trained on 512-letterbox
+images sees full-resolution structures ~6x larger than its training scale
+and does NOT segment them (mask IoU 0.03 vs the letterbox path on real
+3072x2048 shots).  Tiled mode therefore requires a model trained on
+native-resolution tiles — the mechanism is validated (blending is exact to
+1e-4 on single-tile inputs, seams cancel), the bundled checkpoint is not
+scale-appropriate for it.
 """
 
 from __future__ import annotations
