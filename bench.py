@@ -27,14 +27,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    # persistent XLA compilation cache: the multi-minute pipeline compile
-    # happens once per machine instead of once per process
-    cache_dir = os.environ.get("VICKERS_TPU_CACHE", "/tmp/vickers_xla_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    from vickers_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from vickers_tpu.core.config import HVConfig, PostprocessConfig
     from vickers_tpu.models.unet import build_model, init_model

@@ -247,6 +247,9 @@ def _cmd_devices(_args) -> int:
 
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(message)s")
+    from vickers_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(prog="vickers-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
     _add_train(sub)

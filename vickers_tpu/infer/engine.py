@@ -103,6 +103,9 @@ class InferenceEngine:
         batch_stats=None,
         dtype=jnp.bfloat16,
     ):
+        from vickers_tpu.core.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.cfg = config or InferConfig(img_size=img_size)
         self.img_size = self.cfg.img_size
         self.model: VickersUNet = build_model(dtype=dtype)

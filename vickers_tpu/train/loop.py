@@ -63,6 +63,9 @@ def set_seed(seed: int = 42) -> jax.Array:
 
 def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
     """Train; returns the history list (same records as history.json)."""
+    from vickers_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     root_key = set_seed(cfg.seed)
 
     # -- data ---------------------------------------------------------------
