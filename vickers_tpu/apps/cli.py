@@ -42,6 +42,11 @@ def _add_train(sub):
                    choices=["bfloat16", "float32"])
     p.add_argument("--resume", action="store_true",
                    help="continue from <out>/last.ckpt (full train state)")
+    p.add_argument("--mode", choices=["letterbox", "crop"], default="letterbox",
+                   help="letterbox = reference recipe; crop = native-"
+                        "resolution random crops (for tiled inference)")
+    p.add_argument("--steps-per-epoch", type=int, default=40,
+                   help="crop mode: sampled batches per epoch")
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--profile-dir", default=None)
 
@@ -92,7 +97,12 @@ def _cmd_train(args) -> int:
         resume=args.resume, checkpoint_every=args.checkpoint_every,
         profile_dir=args.profile_dir,
     )
-    run(cfg)
+    if args.mode == "crop":
+        from vickers_tpu.train.crops import run_crop_training
+
+        run_crop_training(cfg, steps_per_epoch=args.steps_per_epoch)
+    else:
+        run(cfg)
     return 0
 
 
