@@ -38,7 +38,7 @@ def main() -> None:
 
     batch = 64
     size = 512
-    use_int8 = os.environ.get("VICKERS_BENCH_QUANT", "0") not in ("0", "false")
+    use_int8 = os.environ.get("VICKERS_BENCH_QUANT", "1") not in ("0", "false")
     model = build_model(dtype=jnp.bfloat16)
     params, stats = init_model(model, jax.random.PRNGKey(0), img_size=size)
     variables = {"params": params, "batch_stats": stats}

@@ -129,17 +129,25 @@ def quantize(folded, act_absmax: Dict[str, float]) -> QParams:
 
 
 def quant_forward(qp: QParams, x_norm: jax.Array) -> jax.Array:
-    """Normalized f32 images -> logits, int8 conv compute."""
+    """Normalized images -> logits, int8 conv compute.
+
+    Inter-conv activations are STORED in bf16 (halves the HBM traffic of the
+    elementwise glue, where the int8 pipeline was losing its MXU win) but
+    the requantize/dequantize arithmetic runs in f32 registers — bf16's
+    8-bit mantissa would put the rounding step at 0.5 int levels near the
+    clip boundary and measurably hurt mask accuracy."""
 
     def conv_apply(name, x, stride, pad, relu):
         q = qp.convs[name]
         inv = 1.0 / q.act_scale
-        x_q = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
-        y = _conv(x_q, q.w_int8, stride, pad).astype(jnp.float32)
-        y = y * (q.act_scale * q.w_scale)[None, None, None, :] + q.bias
-        return jax.nn.relu(y) if relu else y
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127
+                       ).astype(jnp.int8)
+        y = _conv(x_q, q.w_int8, stride, pad)
+        y = y.astype(jnp.float32) * (q.act_scale * q.w_scale)[None, None, None, :] \
+            + q.bias
+        return (jax.nn.relu(y) if relu else y).astype(jnp.bfloat16)
 
-    return _forward(conv_apply, x_norm)
+    return _forward(conv_apply, x_norm).astype(jnp.float32)
 
 
 def folded_forward(folded, x_norm: jax.Array) -> jax.Array:
