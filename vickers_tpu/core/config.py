@@ -126,6 +126,14 @@ class AugmentConfig:
     blur_limit: Tuple[int, int] = (3, 5)  # A.GaussianBlur(blur_limit=(3,5))
     noise_p: float = 0.3                # A.GaussNoise(p=0.3)
     noise_var_limit: Tuple[float, float] = (10.0, 50.0)
+    # TPU-native extension (no reference equivalent): random isotropic scale
+    # jitter about the image center, drawn from [1-scale_limit, 1+scale_limit].
+    # Off by default so the compat preset reproduces train.py:67-113 exactly;
+    # turning it on improves generalization across indentation sizes and is
+    # what lets one checkpoint serve both letterbox-512 and tiled native-res
+    # inference (BASELINE config 4).
+    scale_p: float = 0.0
+    scale_limit: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,6 +165,9 @@ class TrainConfig:
                                         # (1 == reference behavior; raise to
                                         # amortize host serialization)
     resume: bool = False                # continue from <out>/last.ckpt
+    ema_decay: float = 0.0              # 0 = off; e.g. 0.999 evaluates and
+                                        # checkpoints an exponential moving
+                                        # average of params + BN stats
 
 
 def rect_compat_postprocess() -> PostprocessConfig:

@@ -84,15 +84,18 @@ def _nearest_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     return jnp.where(inb, v, 0.0)
 
 
-def rotate(img: jax.Array, mask: jax.Array, angle_deg: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def rotate(img: jax.Array, mask: jax.Array, angle_deg: jax.Array,
+           scale=1.0) -> Tuple[jax.Array, jax.Array]:
     """A.Rotate parity: rotate about the image center, keep size, constant-0
-    border; bilinear for the image, nearest for the mask."""
+    border; bilinear for the image, nearest for the mask.  ``scale`` > 1
+    zooms in (the scale_jitter extension; 1.0 == exact A.Rotate)."""
     h, w = img.shape[0], img.shape[1]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     # source coords = inverse of cv2.getRotationMatrix2D's forward rotation:
-    # src = center + [[c, -s], [s, c]] @ (dst - center), c/s of +angle
+    # src = center + [[c, -s], [s, c]] @ (dst - center) / scale, c/s of +angle
     th = angle_deg * math.pi / 180.0
-    c, s = jnp.cos(th), jnp.sin(th)
+    inv = 1.0 / jnp.asarray(scale, jnp.float32)
+    c, s = jnp.cos(th) * inv, jnp.sin(th) * inv
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     xr = (xx - cx) * c - (yy - cy) * s + cx
@@ -274,7 +277,7 @@ def augment_sample(
     """One sample through the full random pipeline. img255: (S, S, 3) float32
     [0,255]; mask: (S, S) float32 {0,1}.  Returns transformed pair (same
     scale; normalization happens downstream like A.Normalize)."""
-    keys = jax.random.split(key, 10)
+    keys = jax.random.split(key, 16)
 
     # -- 1. orientation OneOf (p=0.8, three equal choices)
     do_orient = jax.random.uniform(keys[0]) < cfg.orient_p
@@ -291,23 +294,38 @@ def augment_sample(
 
     img255, mask = jax.lax.cond(do_orient, orient, lambda p: p, (img255, mask))
 
-    # -- 2. arbitrary-angle rotation (p=0.6)
+    # -- 2. arbitrary-angle rotation (p=0.6), optionally fused with the
+    #       scale-jitter extension (one shared resample, like A.Affine)
     do_rot = jax.random.uniform(keys[3]) < cfg.rotate_p
     angle = jax.random.uniform(keys[4], (), minval=-cfg.rotate_limit_deg,
                                maxval=cfg.rotate_limit_deg)
+    angle = jnp.where(do_rot, angle, 0.0)
+    if cfg.scale_p > 0.0:
+        do_scale = jax.random.uniform(keys[14]) < cfg.scale_p
+        scale = 1.0 + jax.random.uniform(keys[15], (), minval=-cfg.scale_limit,
+                                         maxval=cfg.scale_limit)
+        scale = jnp.where(do_scale, scale, 1.0)
+        need_affine = do_rot | do_scale
+    else:
+        scale = jnp.float32(1.0)
+        need_affine = do_rot
     img255, mask = jax.lax.cond(
-        do_rot, lambda p: rotate(p[0], p[1], angle), lambda p: p, (img255, mask)
+        need_affine, lambda p: rotate(p[0], p[1], angle, scale),
+        lambda p: p, (img255, mask)
     )
 
     # -- 3. photometric OneOf (p=0.8)
     do_photo = jax.random.uniform(keys[5]) < cfg.photo_p
     pchoice = jax.random.randint(keys[6], (), 0, 3)
+    # independent draws per parameter, matching albumentations' sampling
+    # (each transform calls random.uniform separately; round 1 reused keys
+    # here, perfectly correlating brightness with contrast etc.)
     alpha = 1.0 + jax.random.uniform(keys[7], (), minval=-cfg.contrast_limit,
                                      maxval=cfg.contrast_limit)
-    beta = jax.random.uniform(keys[7], (), minval=-cfg.brightness_limit,
+    beta = jax.random.uniform(keys[10], (), minval=-cfg.brightness_limit,
                               maxval=cfg.brightness_limit)
     clip = jax.random.uniform(keys[8], (), minval=1.0, maxval=cfg.clahe_clip_limit)
-    kchoice = jnp.where(jax.random.randint(keys[8], (), 0, 2) == 0, 3, 5)
+    kchoice = jnp.where(jax.random.randint(keys[11], (), 0, 2) == 0, 3, 5)
 
     def photo(im):
         return jax.lax.switch(
@@ -324,10 +342,10 @@ def augment_sample(
 
     # -- 4. gaussian noise (p=0.3)
     do_noise = jax.random.uniform(keys[9]) < cfg.noise_p
-    var = jax.random.uniform(keys[9], (), minval=cfg.noise_var_limit[0],
+    var = jax.random.uniform(keys[12], (), minval=cfg.noise_var_limit[0],
                              maxval=cfg.noise_var_limit[1])
     img255 = jax.lax.cond(
-        do_noise, lambda x: gauss_noise(x, keys[9], var), lambda x: x, img255
+        do_noise, lambda x: gauss_noise(x, keys[13], var), lambda x: x, img255
     )
     return img255, mask
 

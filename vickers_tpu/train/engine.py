@@ -43,6 +43,10 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # Exponential moving average of {params, batch_stats} (None when off).
+    # EMA weights generalize better on this 183-image dataset and are what
+    # get validated/exported when TrainConfig.ema_decay > 0.
+    ema: Any = None
 
 
 def cosine_epoch_lr(base_lr: float, epochs: int):
@@ -65,12 +69,21 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def create_train_state(model: VickersUNet, params, batch_stats,
-                       tx: optax.GradientTransformation) -> TrainState:
+                       tx: optax.GradientTransformation,
+                       ema_decay: float = 0.0) -> TrainState:
+    ema = None
+    if ema_decay > 0.0:
+        # real copies: aliasing the live buffers would make the donated
+        # train_step pass the same buffer twice (donation error)
+        ema = jax.tree.map(
+            lambda x: jnp.array(x, copy=True),
+            {"params": params, "batch_stats": batch_stats})
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
+        ema=ema,
     )
 
 
@@ -95,7 +108,7 @@ def _prepare_batch(imgs_u8, masks_u8, key, aug: Optional[AugmentConfig]):
 
 
 def make_train_step(model: VickersUNet, tx: optax.GradientTransformation,
-                    aug: Optional[AugmentConfig]):
+                    aug: Optional[AugmentConfig], ema_decay: float = 0.0):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, imgs_u8, masks_u8, weights, key):
         x, y = _prepare_batch(imgs_u8, masks_u8, key, aug)
@@ -113,9 +126,20 @@ def make_train_step(model: VickersUNet, tx: optax.GradientTransformation,
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema
+        if ema_decay > 0.0 and state.ema is not None:
+            # warmup-corrected decay (min(d, (1+t)/(10+t))) so early steps
+            # track the raw weights instead of the random init
+            step = state.step.astype(jnp.float32)
+            d = jnp.minimum(ema_decay, (1.0 + step) / (10.0 + step))
+            live = {"params": new_params, "batch_stats": new_stats}
+            new_ema = jax.tree.map(
+                lambda e, v: e * d + v.astype(e.dtype) * (1.0 - d),
+                state.ema, live,
+            )
         new_state = state.replace(
             step=state.step + 1, params=new_params,
-            batch_stats=new_stats, opt_state=new_opt,
+            batch_stats=new_stats, opt_state=new_opt, ema=new_ema,
         )
         return new_state, loss
 

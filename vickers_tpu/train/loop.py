@@ -95,8 +95,8 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
         )
 
     tx = make_optimizer(cfg)
-    state = create_train_state(model, params, batch_stats, tx)
-    train_step = make_train_step(model, tx, cfg.augment)
+    state = create_train_state(model, params, batch_stats, tx, cfg.ema_decay)
+    train_step = make_train_step(model, tx, cfg.augment, cfg.ema_decay)
     eval_step = make_eval_step(model)
     lr_of = cosine_epoch_lr(cfg.lr, cfg.epochs)
 
@@ -114,13 +114,16 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
     # true crash-safe resume (no reference equivalent, SURVEY §5): restore
     # params, optimizer state, epoch counter, best metric and history
     if cfg.resume and (out_dir / "last.ckpt").exists():
-        tree = ckpt.load_native(out_dir / "last.ckpt", {
+        template = {
             "params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "epoch": 0, "best_dice": 0.0,
-        })
+        }
+        if state.ema is not None:
+            template["ema"] = state.ema
+        tree = ckpt.load_native(out_dir / "last.ckpt", template)
         state = state.replace(
             params=tree["params"], batch_stats=tree["batch_stats"],
-            opt_state=tree["opt_state"])
+            opt_state=tree["opt_state"], ema=tree.get("ema", state.ema))
         start_ep = int(tree["epoch"]) + 1
         best_dice = float(tree["best_dice"])
         hist_file = out_dir / "history.json"
@@ -166,12 +169,18 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
                 f"state saved to {out_dir / 'crash.ckpt'}")
 
         # ---- validate ----
+        # With EMA enabled, validation/checkpointing run on the averaged
+        # weights (they're the exported model); raw weights keep training.
+        eval_state = state
+        if state.ema is not None:
+            eval_state = state.replace(
+                params=state.ema["params"], batch_stats=state.ema["batch_stats"])
         ep_vis_dir = out_dir / "val_vis" / f"ep_{ep:03d}"
         evals = []
         for imgs, masks, w, stems in val_ds.epoch_batches(
             cfg.batch, shuffle=False, pad_final=True
         ):
-            out: EvalOut = eval_step(state, imgs, masks, w)
+            out: EvalOut = eval_step(eval_state, imgs, masks, w)
             evals.append(out)
             if cfg.dump_all_val:
                 k = len(stems)
@@ -209,18 +218,23 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
         if val_dice > best_dice:
             best_dice = val_dice
             ckpt.save_native(out_dir / "best.ckpt", {
-                "params": state.params, "batch_stats": state.batch_stats,
+                "params": eval_state.params, "batch_stats": eval_state.batch_stats,
             })
-            ckpt.export_pth(out_dir / "best.pth", state.params, state.batch_stats)
+            ckpt.export_pth(out_dir / "best.pth",
+                            eval_state.params, eval_state.batch_stats)
             no_improve = 0
         else:
             no_improve += 1
         if ep % max(1, cfg.checkpoint_every) == 0 or ep == epochs:
-            ckpt.save_native(out_dir / "last.ckpt", {
+            last_tree = {
                 "params": state.params, "batch_stats": state.batch_stats,
                 "opt_state": state.opt_state, "epoch": ep, "best_dice": best_dice,
-            })
-            ckpt.export_pth(out_dir / "last.pth", state.params, state.batch_stats)
+            }
+            if state.ema is not None:
+                last_tree["ema"] = state.ema
+            ckpt.save_native(out_dir / "last.ckpt", last_tree)
+            ckpt.export_pth(out_dir / "last.pth",
+                            eval_state.params, eval_state.batch_stats)
 
         with open(out_dir / "history.json", "w", encoding="utf-8") as f:
             json.dump(history, f, ensure_ascii=False, indent=2)
@@ -230,7 +244,7 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
             for imgs, masks, w, stems in train_ds.epoch_batches(
                 cfg.batch, shuffle=False, pad_final=True
             ):
-                out = eval_step(state, imgs, masks, w)
+                out = eval_step(eval_state, imgs, masks, w)
                 k = len(stems)
                 x = np.asarray(normalize_imagenet(jnp.asarray(imgs[:k], jnp.float32)))
                 save_batch_visuals(x, masks[:k].astype(np.float32),
@@ -244,9 +258,11 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
     # ---- final export: StableHLO of the jitted forward (ONNX analog) ----
     try:
         dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        final = state if state.ema is None else state.replace(
+            params=state.ema["params"], batch_stats=state.ema["batch_stats"])
         lowered = jax.jit(
             lambda x: model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": final.params, "batch_stats": final.batch_stats},
                 x, train=False)
         ).lower(dummy)
         (out_dir / "unet_stablehlo.mlir").write_text(lowered.as_text())
