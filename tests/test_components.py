@@ -89,3 +89,62 @@ def test_extract_components_empty_mask():
     comps = extract_components(jnp.zeros((64, 64), jnp.float32), min_area=200)
     assert not np.any(np.asarray(comps.valid))
     assert np.all(np.asarray(comps.clean) == 0)
+
+
+class TestRunBasedComponents:
+    """The run-based fast path must match cv2 and the pixel labeler exactly
+    (same ids, same areas, same clean mask) on every mask morphology can emit."""
+
+    def test_oracle_parity_real_and_synthetic(self, reference_masks):
+        import cv2
+        from vickers_tpu.ops.components import (extract_components,
+                                                extract_components_runs)
+
+        cases = [m for _, m in reference_masks]
+        rng = np.random.default_rng(3)
+        blob = cv2.GaussianBlur(rng.random((256, 256)).astype(np.float32),
+                                (31, 31), 0)
+        cases.append((blob > blob.mean() + blob.std()).astype(np.uint8))
+        u = np.zeros((128, 128), np.uint8)
+        cv2.rectangle(u, (20, 20), (30, 100), 1, -1)
+        cv2.rectangle(u, (80, 20), (90, 100), 1, -1)
+        cv2.rectangle(u, (20, 90), (90, 100), 1, -1)
+        cases.append(u)
+
+        for m in cases:
+            min_area = 1 if m.shape[0] <= 256 else max(200, int(0.0008 * m.size))
+            n, _, stats, _ = cv2.connectedComponentsWithStats(m, connectivity=8)
+            want = sorted(
+                [int(stats[i, 4]) for i in range(1, n) if stats[i, 4] >= min_area],
+                reverse=True)[:8]
+            got = extract_components_runs(
+                jnp.asarray(m.astype(np.float32)), min_area, 8, 64, 16)
+            got_areas = sorted(
+                [int(a) for a, v in zip(np.asarray(got.areas),
+                                        np.asarray(got.valid)) if v],
+                reverse=True)
+            assert got_areas == want
+
+    def test_extents_match_pixel_impl(self):
+        import cv2
+        from vickers_tpu.ops.components import (extract_components,
+                                                extract_components_runs)
+
+        m = np.zeros((128, 128), np.uint8)
+        cv2.circle(m, (40, 44), 21, 1, -1)
+        cv2.rectangle(m, (80, 70), (120, 110), 1, -1)
+        runs = extract_components_runs(jnp.asarray(m, jnp.float32), 10, 8, 64, 16)
+        pix = extract_components(jnp.asarray(m, jnp.float32), 10, 8, 64)
+        assert np.array_equal(np.asarray(runs.ids), np.asarray(pix.ids))
+        assert np.array_equal(np.asarray(runs.clean), np.asarray(pix.clean))
+        masks = np.asarray(pix.masks)
+        for k in range(8):
+            if not np.asarray(pix.valid)[k]:
+                continue
+            for r in range(128):
+                cols = np.where(masks[k, r])[0]
+                if len(cols):
+                    assert np.asarray(runs.xmin)[k, r] == cols.min()
+                    assert np.asarray(runs.xmax)[k, r] == cols.max()
+                else:
+                    assert not np.asarray(runs.any_row)[k, r]

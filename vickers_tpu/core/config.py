@@ -81,6 +81,15 @@ class PostprocessConfig:
     fit_outset_px: int = 0              # quad GUI uses 2 (fit-only dilation)
     max_components: int = 8             # static component budget (TPU shapes)
     cc_max_iters: int = 64              # hook+jump fixpoint cap for labeling
+    # Connected-components implementation:
+    #   "runs"  — row-run compression + run-graph fixpoint (default; ~an
+    #             order of magnitude faster on TPU, exact while every row
+    #             has <= max_runs_per_row foreground runs, which morphology
+    #             guarantees for real masks)
+    #   "pixel" — per-pixel segmented doubling scans (exact for arbitrary
+    #             inputs; the round-1 implementation)
+    cc_impl: str = "runs"
+    max_runs_per_row: int = 64
     # Angle scan resolution for the min-area-rect search.
     rect_coarse_angles: int = 192
     rect_refine_angles: int = 64

@@ -174,3 +174,196 @@ def extract_components(
         valid=valid,
         clean=clean,
     )
+
+
+# ---------------------------------------------------------------------------
+# Run-length connected components — the fast path.
+#
+# The pixel labeler above is exact for arbitrary inputs but pays O(H*W) work
+# per doubling step.  Vickers masks after open/close are a handful of fat
+# blobs: every image row contains at most a few foreground runs.  Compressing
+# each row to a fixed table of R runs turns connected components, area stats,
+# per-component row extents and the clean-mask union into operations on tiny
+# (H, R) tables — no per-pixel sort, no (K, H, W) mask materialization, no
+# gathers.  This is the TPU-first replacement for the whole
+# cv2.connectedComponentsWithStats(+stats+top-K) block at
+# ui_infer_rectangle.py:331-338.
+#
+# Exactness bound: results are identical to the pixel labeler (and cv2,
+# connectivity=8) whenever every row has <= max_runs_per_row runs.  Rows
+# beyond the bound silently drop their excess runs; min_area >= 200 makes
+# that irrelevant for any mask the morphology stage can emit.
+# ---------------------------------------------------------------------------
+
+
+class RunComponents(NamedTuple):
+    """Fixed-size component set from the run-based labeler.
+
+    ``ids``    (K,) int32   — component ids (max linear pixel index), -1 empty
+    ``areas``  (K,) int32   — exact pixel areas, descending
+    ``valid``  (K,) bool    — area >= min_area
+    ``clean``  (H, W) float32 — union of kept components (0/1)
+    ``xmin``   (K, H) float32 — per-row min x (+1e9 on empty rows)
+    ``xmax``   (K, H) float32 — per-row max x (-1e9 on empty rows)
+    ``any_row``(K, H) bool
+    """
+
+    ids: jax.Array
+    areas: jax.Array
+    valid: jax.Array
+    clean: jax.Array
+    xmin: jax.Array
+    xmax: jax.Array
+    any_row: jax.Array
+
+
+def _row_run_tables(fg: jax.Array, max_runs: int):
+    """Compress each row's foreground runs into (H, R) x0/x1 tables.
+
+    x0[r, k] = #{x : starts_cum[r, x] <= k} (starts_cum = inclusive cumsum of
+    run-start indicators) — a cumulative histogram, i.e. pure compares and
+    reductions; no sort, no gather, no scatter."""
+    h, w = fg.shape
+    left = jnp.pad(fg[:, :-1], ((0, 0), (1, 0)), constant_values=False)
+    right = jnp.pad(fg[:, 1:], ((0, 0), (0, 1)), constant_values=False)
+    is_start = fg & ~left
+    is_end = fg & ~right
+    starts_cum = jnp.cumsum(is_start.astype(jnp.int32), axis=1)
+    ends_cum = jnp.cumsum(is_end.astype(jnp.int32), axis=1)
+    n_runs = starts_cum[:, -1]                                   # (H,)
+
+    bins = jnp.arange(max_runs, dtype=jnp.int32)                 # (R,)
+    cs = jnp.minimum(starts_cum, max_runs)[:, :, None]           # (H, W, 1)
+    ce = jnp.minimum(ends_cum, max_runs)[:, :, None]
+    # cumulative histograms fused by XLA into per-bin masked counts
+    x0 = jnp.sum((cs <= bins[None, None, :]).astype(jnp.int32), axis=1)
+    x1 = jnp.sum((ce <= bins[None, None, :]).astype(jnp.int32), axis=1)
+    run_valid = bins[None, :] < jnp.minimum(n_runs, max_runs)[:, None]
+    return x0, x1, run_valid, starts_cum
+
+
+def _run_fixpoint(x0, x1, labels, run_valid, max_sweeps: int):
+    """Propagate max labels across 8-connected runs of adjacent rows.
+
+    One sweep = a down row-scan then an up row-scan (Gauss-Seidel): any
+    vertically monotone chain of runs converges in a single direction pass;
+    each extra sweep handles one more direction reversal (U/S shapes).
+    """
+
+    def direction(args, reverse: bool):
+        labels, x0, x1, run_valid = args
+
+        def step(carry, row):
+            lp, x0p, x1p, vp = carry
+            lc, x0c, x1c, vc = row
+            over = (
+                (x0c[:, None] <= x1p[None, :] + 1)
+                & (x0p[None, :] <= x1c[:, None] + 1)
+                & vc[:, None] & vp[None, :]
+            )                                                    # (R, Rprev)
+            cand = jnp.max(jnp.where(over, lp[None, :], -1), axis=1)
+            ln = jnp.where(vc, jnp.maximum(lc, cand), -1)
+            return (ln, x0c, x1c, vc), ln
+
+        r = x0.shape[1]
+        init = (jnp.full((r,), -1, labels.dtype),
+                jnp.full((r,), 1, x0.dtype),
+                jnp.full((r,), -2, x1.dtype),
+                jnp.zeros((r,), bool))
+        _, out = jax.lax.scan(step, init, (labels, x0, x1, run_valid),
+                              reverse=reverse, unroll=8)
+        return out
+
+    def body(state):
+        i, labels, _ = state
+        l1 = direction((labels, x0, x1, run_valid), False)
+        l2 = direction((l1, x0, x1, run_valid), True)
+        return i + 1, l2, jnp.any(l2 != labels)
+
+    def cond(state):
+        i, _, changed = state
+        return (i < max_sweeps) & changed
+
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (0, labels, jnp.bool_(True)))
+    return labels
+
+
+@functools.partial(jax.jit, static_argnames=("max_components", "max_runs",
+                                             "max_sweeps"))
+def extract_components_runs(
+    mask: jax.Array,
+    min_area: jax.Array | int,
+    max_components: int = 8,
+    max_runs: int = 64,
+    max_sweeps: int = 16,
+) -> RunComponents:
+    """Run-based connectedComponentsWithStats + area filter + top-K + extents."""
+    h, w = mask.shape
+    fg = mask > 0.5
+    x0, x1, run_valid, starts_cum = _row_run_tables(fg, max_runs)
+
+    rows = jnp.arange(h, dtype=jnp.int32)
+    init_labels = jnp.where(run_valid, rows[:, None] * w + x1, -1)
+    labels = _run_fixpoint(x0, x1, init_labels, run_valid, max_sweeps)
+
+    # ---- exact areas by label: sort the tiny run table, segment-sum -------
+    run_area = jnp.where(run_valid, x1 - x0 + 1, 0)
+    flat_l = labels.reshape(-1)
+    flat_a = run_area.reshape(-1).astype(jnp.int32)
+    sl, sa = jax.lax.sort((flat_l, flat_a), num_keys=1)
+    csum = jnp.cumsum(sa)
+    n = sl.shape[0]
+    is_end = jnp.concatenate([sl[1:] != sl[:-1], jnp.ones((1,), bool)])
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, -1))
+    base = jnp.where(start_pos > 0, jnp.take(csum, jnp.maximum(start_pos - 1, 0)), 0)
+    area_at_end = jnp.where(is_end & (sl >= 0), csum - base, 0)
+
+    def take_next(areas, _):
+        i = jnp.argmax(areas)
+        return areas.at[i].set(-1), (areas[i], sl[i])
+
+    _, (top_areas, top_ids) = jax.lax.scan(
+        take_next, area_at_end, None, length=max_components)
+    valid = top_areas >= jnp.asarray(min_area, jnp.int32)
+    ids = jnp.where(valid, top_ids.astype(jnp.int32), -1)
+
+    # ---- per-component row extents straight from the run tables -----------
+    hit = (labels[None, :, :] == ids[:, None, None]) & run_valid[None]  # (K,H,R)
+    big = jnp.float32(1e9)
+    xmin = jnp.min(jnp.where(hit, x0[None].astype(jnp.float32), big), axis=2)
+    xmax = jnp.max(jnp.where(hit, x1[None].astype(jnp.float32), -big), axis=2)
+    any_row = jnp.any(hit, axis=2)
+    xmin = jnp.where(valid[:, None], xmin, big)
+    xmax = jnp.where(valid[:, None], xmax, -big)
+    any_row = any_row & valid[:, None]
+
+    # ---- clean mask: bit-packed kept-run flags tested per pixel -----------
+    # Each pixel knows its run slot (starts_cum - 1); kept flags pack into
+    # one uint32 word per (row, 32 slots), so the paint is three vector ops
+    # per word over (H, W) — no scatter, no (H, W, R) broadcast.
+    kept = jnp.any(hit & valid[:, None, None], axis=0)           # (H, R)
+    slot = jnp.minimum(starts_cum - 1, max_runs - 1)             # (H, W)
+    bit = (jnp.maximum(slot, 0) % 32).astype(jnp.uint32)
+    painted = jnp.zeros(fg.shape, jnp.float32)
+    for wi in range((max_runs + 31) // 32):
+        in_word = kept[:, wi * 32:(wi + 1) * 32]                 # (H, <=32)
+        bits = jnp.arange(in_word.shape[1], dtype=jnp.uint32)
+        word = jnp.sum(jnp.where(in_word, jnp.uint32(1) << bits[None, :],
+                                 jnp.uint32(0)), axis=1)         # (H,)
+        sel = (slot // 32) == wi
+        painted = jnp.where(
+            sel, ((word[:, None] >> bit) & 1).astype(jnp.float32), painted)
+    clean = jnp.where(fg & (slot >= 0), painted, 0.0)
+
+    return RunComponents(
+        ids=ids,
+        areas=jnp.where(valid, top_areas, 0),
+        valid=valid,
+        clean=clean,
+        xmin=xmin,
+        xmax=xmax,
+        any_row=any_row,
+    )

@@ -148,24 +148,47 @@ def order_quad_cw(quad: jax.Array) -> jax.Array:
     return jnp.roll(p, -k, axis=0)
 
 
-@jax.jit
-def quad_corners(ext: RowExtents, theta: jax.Array) -> jax.Array:
+def se_support_offsets(theta: jax.Array, ksize: int) -> jax.Array:
+    """Support points of the elliptical SE along the quad-diagonal directions.
+
+    Dilating a pixel set by a structuring element is a Minkowski sum, and the
+    support (extreme) point of a Minkowski sum decomposes:
+    extreme(A ⊕ SE, d) = extreme(A, d) + extreme(SE, d).  So the reference's
+    fit-only dilation (ui_infer_quadrilateral.py:478-481) reduces to adding
+    the SE's own extreme offset to each corner — no (K, H, W) dilation pass.
+    Returns (K, 4, 2) xy offsets for directions θ+45°+k·90°."""
+    from vickers_tpu.ops.morphology import ellipse_kernel
+
+    offs = jnp.asarray(ellipse_kernel(ksize), jnp.float32)       # (M, 2) (dy, dx)
+    dirs = theta[:, None] + (math.pi / 4.0) + jnp.arange(4)[None, :] * (math.pi / 2.0)
+    c, s = jnp.cos(dirs), jnp.sin(dirs)                          # (K, 4)
+    val = offs[None, None, :, 1] * c[..., None] + offs[None, None, :, 0] * s[..., None]
+    i = jnp.argmax(val, axis=-1)                                 # (K, 4)
+    return jnp.stack([offs[:, 1][i], offs[:, 0][i]], axis=-1)    # (K, 4, 2) xy
+
+
+@functools.partial(jax.jit, static_argnames=("outset_ksize",))
+def quad_corners(ext: RowExtents, theta: jax.Array,
+                 outset_ksize: int = 0) -> jax.Array:
     """Four hull extreme points along the rect-diagonal directions.
 
-    ext should come from the *fit* masks (optionally dilated by
-    fit_outset_px, matching ui_infer_quadrilateral.py:478-481).
-    Returns (K, 4, 2) CW-ordered quads."""
+    ``outset_ksize`` > 0 applies the reference's fit-only dilation
+    (ui_infer_quadrilateral.py:478-481) as an exact Minkowski support-point
+    adjustment (see ``se_support_offsets``); alternatively pass ext of
+    pre-dilated masks with outset_ksize=0.  Returns (K, 4, 2) CW quads."""
     k = ext.xmin.shape[0]
     dirs = theta[:, None] + (math.pi / 4.0) + jnp.arange(4)[None, :] * (math.pi / 2.0)
 
     def one(ext_k, dirs_k):
-        pts = _extreme_point(
+        return _extreme_point(
             RowExtents(ext_k.xmin[None], ext_k.xmax[None], ext_k.any_row[None]),
             jnp.cos(dirs_k), jnp.sin(dirs_k),
         )[0]                                             # (4, 2)
-        return order_quad_cw(pts)
 
-    return jax.vmap(one)(RowExtents(ext.xmin, ext.xmax, ext.any_row), dirs)
+    pts = jax.vmap(one)(RowExtents(ext.xmin, ext.xmax, ext.any_row), dirs)
+    if outset_ksize > 0:
+        pts = pts + se_support_offsets(theta, outset_ksize)
+    return jax.vmap(order_quad_cw)(pts)
 
 
 def is_convex_quad(quad: jax.Array) -> jax.Array:

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from vickers_tpu.core.config import FitMode, HVConfig, PostprocessConfig
 from vickers_tpu.ops import geometry as G
 from vickers_tpu.ops import morphology as M
-from vickers_tpu.ops.components import Components, extract_components
+from vickers_tpu.ops.components import (Components, extract_components,
+                                        extract_components_runs)
 
 
 class Detections(NamedTuple):
@@ -61,11 +62,32 @@ def postprocess(
     mask = M.clean_binary(
         prob, cfg.bin_thresh, cfg.morph_kernel, cfg.open_iter, cfg.close_iter
     )
-    comps: Components = extract_components(
-        mask, min_area, max_components=cfg.max_components, max_iters=cfg.cc_max_iters
-    )
+    if cfg.cc_impl == "runs":
+        # fast path: row-run compression + run-graph fixpoint (see
+        # ops.components docstring for the exactness bound)
+        rc = extract_components_runs(
+            mask, min_area, max_components=cfg.max_components,
+            max_runs=cfg.max_runs_per_row, max_sweeps=cfg.cc_max_iters,
+        )
+        areas, valid, clean = rc.areas, rc.valid, rc.clean
+        ext = G.RowExtents(xmin=rc.xmin, xmax=rc.xmax, any_row=rc.any_row)
+        fit_ext = None   # Minkowski outset replaces the dilation pass
+    else:
+        comps: Components = extract_components(
+            mask, min_area, max_components=cfg.max_components,
+            max_iters=cfg.cc_max_iters,
+        )
+        areas, valid, clean = comps.areas, comps.valid, comps.clean
+        ext = G.row_extents(comps.masks)
+        fit_ext = None
+        if cfg.fit == FitMode.QUAD and cfg.fit_outset_px > 0:
+            # fit-only dilation (ui_infer_quadrilateral.py:478-481): enlarges
+            # the boundary used for fitting without touching area stats.
+            ksz = max(3, cfg.fit_outset_px * 2 + 1)
+            fit_masks = jax.vmap(lambda m: M.dilate(m, ksz, 1))(
+                comps.masks.astype(jnp.float32))
+            fit_ext = G.row_extents(fit_masks > 0.5)
 
-    ext = G.row_extents(comps.masks)
     rect = G.min_area_rect(ext, cfg.rect_coarse_angles, cfg.rect_refine_angles)
 
     if cfg.fit == FitMode.RECT:
@@ -73,14 +95,11 @@ def postprocess(
         center = rect.center
         quality = jnp.ones((cfg.max_components,), jnp.float32)
     else:
-        fit_masks = comps.masks.astype(jnp.float32)
-        if cfg.fit_outset_px > 0:
-            # fit-only dilation (ui_infer_quadrilateral.py:478-481): enlarges
-            # the boundary used for fitting without touching area stats.
-            ksz = max(3, cfg.fit_outset_px * 2 + 1)
-            fit_masks = jax.vmap(lambda m: M.dilate(m, ksz, 1))(fit_masks)
-        fit_ext = G.row_extents(fit_masks > 0.5)
-        box = G.quad_corners(fit_ext, rect.theta)
+        ksz = max(3, cfg.fit_outset_px * 2 + 1) if cfg.fit_outset_px > 0 else 0
+        if fit_ext is not None:
+            box = G.quad_corners(fit_ext, rect.theta)
+        else:
+            box = G.quad_corners(ext, rect.theta, outset_ksize=ksz)
         center = jnp.mean(box, axis=1)   # vertex mean (ui_infer_quadrilateral.py:506)
         quality = jax.vmap(G.quad_quality)(box)
 
@@ -88,10 +107,10 @@ def postprocess(
     d_mean = 0.5 * (d1 + d2)
     hv_vals = G.vickers_hv(d_mean, hv.um_per_px, hv.force_kgf)
 
-    v = comps.valid
+    v = valid
     det = Detections(
         valid=v,
-        area=jnp.where(v, comps.areas.astype(jnp.float32), 0.0),
+        area=jnp.where(v, areas.astype(jnp.float32), 0.0),
         box=jnp.where(v[:, None, None], box, 0.0),
         center=jnp.where(v[:, None], center, 0.0),
         d1=jnp.where(v, d1, 0.0),
@@ -100,4 +119,4 @@ def postprocess(
         hv=jnp.where(v, hv_vals, 0.0),
         quality=jnp.where(v, quality, 0.0),
     )
-    return PostprocessResult(clean=comps.clean, detections=det)
+    return PostprocessResult(clean=clean, detections=det)
