@@ -96,3 +96,53 @@ def test_detect_batch_quant_requires_calibration(model_and_vars):
                           batch_stats=stats, dtype=jnp.float32)
     with pytest.raises(RuntimeError):
         eng.detect_batch(_imgs(1), quantized=True)
+
+
+class TestFusedInt8:
+    """ops.pallas_conv + quant_forward_fused (interpret mode on CPU)."""
+
+    def test_conv3x3_matches_xla_conv(self):
+        import jax
+        from vickers_tpu.ops.pallas_conv import conv3x3_int8
+
+        rng = np.random.default_rng(0)
+        for stride, relu, od in [(1, True, "bfloat16"), (1, False, "int8"),
+                                 (2, True, "bfloat16"), (2, True, "int8")]:
+            x = rng.integers(-127, 128, (2, 16, 16, 8)).astype(np.int8)
+            w = rng.integers(-20, 20, (3, 3, 8, 16)).astype(np.int8)
+            scale = (rng.random(16).astype(np.float32) + 0.5) * 1e-3
+            bias = rng.standard_normal(16).astype(np.float32) * 0.1
+            got = conv3x3_int8(
+                jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale),
+                jnp.asarray(bias), jnp.float32(9.0), stride=stride,
+                relu=relu, out_dtype_name=od, interpret=True)
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                jnp.asarray(x, jnp.int32), jnp.asarray(w, jnp.int32),
+                (stride, stride), ((1, 1), (1, 1)), dimension_numbers=dn)
+            y = np.asarray(y, np.float32) * scale + bias
+            if relu:
+                y = np.maximum(y, 0)
+            if od == "int8":
+                want = np.clip(np.round(y * 9.0), -127, 127)
+                assert np.max(np.abs(np.asarray(got, np.float32) - want)) <= 1
+            else:
+                want = y
+                tol = 2e-2 * max(1.0, np.abs(want).max())
+                assert np.max(np.abs(np.asarray(got, np.float32) - want)) <= tol
+
+    def test_fused_forward_close_to_xla_int8(self, model_and_vars):
+        from vickers_tpu.quant.model import quant_forward, quant_forward_fused
+
+        model, params, stats = model_and_vars
+        calib = normalize_imagenet(jnp.asarray(_imgs(4, seed=1)))
+        folded, absmax = calibrate(params, stats, calib)
+        qp = quantize(folded, absmax)
+        x = normalize_imagenet(jnp.asarray(_imgs(2, seed=2)))
+        ref = np.asarray(quant_forward(qp, x))
+        got = np.asarray(quant_forward_fused(qp, x, interpret=True))
+        # both are valid int8 networks; they differ only in where rounding
+        # happens (bf16 storage vs f32 epilogue), so correlation is the bar
+        corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+        assert corr > 0.99, corr

@@ -1,0 +1,214 @@
+"""Pallas int8 conv kernels with fused epilogues (TPU serving fast path).
+
+Why: the XLA int8 path (quant/model.py round 1) ran each conv as
+``conv_general_dilated -> int32 HBM -> fused dequant/bias/relu -> bf16 HBM ->
+fused requant -> int8``: ~14 bytes of HBM traffic per activation element of
+pure glue, which erased the MXU's 2x int8 rate (BENCH.md round 1: int8 tied
+bf16 end-to-end despite a 6.5x conv microbench win).  This kernel keeps the
+int32 accumulator in VMEM and applies the whole epilogue —
+``y*scale + bias -> relu -> [requant]`` — before anything touches HBM, so a
+chain conv costs 1 byte in + 1 byte out per element.
+
+Shapes/stride handling:
+- stride-1 3x3 convs run directly: grid over (batch, row-tiles), each program
+  DMAs an overlapping (TH+2, W+2, Ci) int8 slab into VMEM (halo rows; manual
+  async copy because BlockSpec blocks cannot overlap) and accumulates nine
+  shifted (TH*W, Ci) x (Ci, Co) int8 matmuls into an int32 VMEM scratch.
+- stride-2 3x3 convs are pre-transformed with space-to-depth (factor 2) in
+  XLA (a 1-byte/element relayout) and run through the same kernel with a
+  9-tap (dy, dx, channel-group) mapping: out[h,w] = sum_t W_t @
+  x_s2d[h+dh_t, w+dw_t, g_t*Ci:(g_t+1)*Ci] — identical FLOPs, stride 1.
+- 7x7 stem, 1x1 downsamples, pools/upsamples/adds/concats stay in XLA (tiny
+  fraction of FLOPs; elementwise glue fuses well there).
+
+The quantization scheme matches quant.model: symmetric per-output-channel
+int8 weights, per-tensor int8 activations, f32 epilogue arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Taps for a plain 3x3 stride-1 conv on a (H+2, W+2) zero-padded input:
+# (row offset, col offset, channel group 0) for kernel position (dy, dx).
+_TAPS_3X3 = tuple((dy, dx, 0, dy, dx) for dy in range(3) for dx in range(3))
+
+
+def _s2d_taps() -> Tuple[Tuple[int, int, int, int, int], ...]:
+    """Taps for 3x3 stride-2 expressed on the space-to-depth(2) input.
+
+    Input index 2h'+dy-1 = 2(h'+qy)+ay with (qy, ay) = divmod(dy-1, 2) —
+    so kernel position (dy, dx) reads s2d spatial offset (qy+1, qx+1) (the
+    +1 from the one-block zero pad) and channel group ay*2+ax."""
+    taps = []
+    for dy in range(3):
+        for dx in range(3):
+            qy, ay = divmod(dy - 1, 2)
+            qx, ax = divmod(dx - 1, 2)
+            taps.append((qy + 1, qx + 1, ay * 2 + ax, dy, dx))
+    return tuple(taps)
+
+
+_TAPS_S2D = _s2d_taps()
+
+
+def space_to_depth2(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), groups ordered (ay, ax)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _epilogue(acc_f32, scale, bias, relu: bool, out_dtype, out_scale_inv):
+    y = acc_f32 * scale + bias
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    if out_dtype == jnp.int8:
+        y = jnp.clip(jnp.round(y * out_scale_inv), -127, 127)
+    return y.astype(out_dtype)
+
+
+def _make_kernel(taps, th: int, w_out: int, ci: int, co: int,
+                 relu: bool, out_dtype, n_wc: int, wc: int):
+    """Kernel body: DMA the input slab, accumulate tap matmuls per W-chunk,
+    apply the epilogue, write the output block."""
+
+    def kernel(x_hbm, w_ref, scale_ref, bias_ref, osc_ref, out_ref,
+               xbuf, acc, sem):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        rows = xbuf.shape[0]
+        copy = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i * th, rows), :, :], xbuf, sem)
+        copy.start()
+        copy.wait()
+
+        for c_i in range(n_wc):
+            w0 = c_i * wc
+            first = True
+            for (oy, ox, grp, dy, dx) in taps:
+                patch = xbuf[pl.ds(oy, th), pl.ds(w0 + ox, wc),
+                             pl.ds(grp * ci, ci)]
+                wk = w_ref[pl.ds((dy * 3 + dx) * ci, ci), :]
+                prod = jax.lax.dot_general(
+                    patch.reshape(th * wc, ci), wk,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                if first:
+                    acc[:] = prod
+                    first = False
+                else:
+                    acc[:] = acc[:] + prod
+            y = _epilogue(
+                acc[:].astype(jnp.float32).reshape(th, wc, co),
+                scale_ref[:], bias_ref[:], relu, out_dtype, osc_ref[0, 0],
+            )
+            out_ref[0, :, pl.ds(w0, wc), :] = y
+
+    return kernel
+
+
+def _pick_tiles(h_out: int, w_out: int, ci_g: int, co: int):
+    """Choose (row-tile, w-chunk) so the slab + accumulator fit comfortably
+    in VMEM (~6 MB budget) while keeping the program count low."""
+    vmem = 6 * 1024 * 1024
+    best = None
+    for th in (128, 64, 32, 16, 8, 4):
+        if h_out % th and th != h_out:
+            continue
+        th_eff = min(th, h_out)
+        slab = (th_eff + 2) * (w_out + 2) * ci_g
+        for wc in (w_out, 256, 128, 64):
+            if wc > w_out or (w_out % wc):
+                continue
+            acc = th_eff * wc * co * 4
+            out = th_eff * w_out * co * 2
+            if slab + acc + out < vmem:
+                programs = (h_out // th_eff)
+                cand = (programs, -th_eff, wc)
+                if best is None or cand < best[0]:
+                    best = (cand, th_eff, wc)
+                break
+    if best is None:  # tiny layers: whole image
+        return h_out, w_out
+    return best[1], best[2]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride", "relu", "out_dtype_name", "interpret"))
+def conv3x3_int8(
+    x: jax.Array,                 # (B, H, W, Ci) int8 (NOT padded)
+    w: jax.Array,                 # (3, 3, Ci, Co) int8
+    scale: jax.Array,             # (Co,) f32 — act_scale * w_scale
+    bias: jax.Array,              # (Co,) f32
+    out_scale_inv: jax.Array,     # () f32 — 1/next act_scale (int8 out only)
+    stride: int = 1,
+    relu: bool = True,
+    out_dtype_name: str = "bfloat16",
+    interpret: bool = False,
+) -> jax.Array:
+    """3x3 conv, pad=1, int8 compute, fused epilogue.  Returns (B, Ho, Wo, Co)
+    in bf16 (dequantized) or int8 (requantized at 1/out_scale_inv)."""
+    b, h, w_in, ci = x.shape
+    co = w.shape[-1]
+    out_dtype = {"bfloat16": jnp.bfloat16, "int8": jnp.int8,
+                 "float32": jnp.float32}[out_dtype_name]
+
+    if stride == 2:
+        if h % 2 or w_in % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w_in % 2), (0, 0)))
+            h, w_in = x.shape[1], x.shape[2]
+        xs = space_to_depth2(x)                     # (B, H/2, W/2, 4Ci)
+        h_out, w_out = h // 2, w_in // 2
+        xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = _TAPS_S2D
+        ci_g = 4 * ci
+    elif stride == 1:
+        h_out, w_out = h, w_in
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = _TAPS_3X3
+        ci_g = ci
+    else:
+        raise ValueError(f"stride {stride} unsupported")
+
+    # weights -> (9*Ci, Co) in (dy, dx) major order
+    wf = w.transpose(0, 1, 2, 3).reshape(9 * ci, co)
+
+    th, wc = _pick_tiles(h_out, w_out, ci_g, co)
+    n_wc = w_out // wc
+    kernel = _make_kernel(taps, th, w_out, ci, co, relu, out_dtype, n_wc, wc)
+
+    # pad W+2 up so strided W-chunks stay in bounds: xp width = w_out + 2
+    grid = (b, h_out // th)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),           # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # scale (1, Co)
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # bias (1, Co)
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # out_scale_inv
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w_out, co), lambda bb, ii: (bb, ii, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, co), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, w_out + 2, ci_g), jnp.int8),
+            pltpu.VMEM((th * wc, co), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, wf, scale.reshape(1, co), bias.reshape(1, co),
+      out_scale_inv.reshape(1, 1))
+    return out
