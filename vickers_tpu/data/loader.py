@@ -10,8 +10,10 @@ random augmentations (ops.augment) and normalization run on-TPU inside the
 train step.
 
 Decode parallelism comes from a thread pool (cv2.imread releases the GIL in
-its C++ core); batches are delivered as pinned-host numpy and the training
-loop overlaps H2D transfer with compute via double-buffered prefetch.
+its C++ core).  ``prefetch_to_device`` wraps ``epoch_batches`` with a
+double-buffered ``jax.device_put`` pipeline: while the jitted step consumes
+batch n, batch n+1's host slicing + H2D transfer are already in flight
+(JAX transfers are asynchronous), so the device never idles on input.
 """
 
 from __future__ import annotations
@@ -129,3 +131,28 @@ class CachedDataset:
                 w,
                 [self.stems[i] for i in idx[: len(idx) - pad]],
             )
+
+
+def prefetch_to_device(batches, depth: int = 2):
+    """Double-buffered device prefetch over an ``epoch_batches`` iterator.
+
+    Starts the (async) ``jax.device_put`` of up to ``depth`` upcoming batches
+    so host slicing and H2D transfer overlap the consumer's device step.
+    Stems stay host-side untouched."""
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def put(item):
+        imgs, masks, w, stems = item
+        return (jax.device_put(imgs), jax.device_put(masks),
+                jax.device_put(w), stems)
+
+    for item in batches:
+        buf.append(put(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -108,6 +108,9 @@ class InferenceEngine:
         enable_persistent_cache()
         self.cfg = config or InferConfig(img_size=img_size)
         self.img_size = self.cfg.img_size
+        # per-instance compiled-fn cache (an lru_cache on bound methods would
+        # key on self and pin every engine + its params for process lifetime)
+        self._fns: Dict = {}
         self.model: VickersUNet = build_model(dtype=dtype)
         self.backend = "none"
         self._info = "no model"
@@ -156,7 +159,12 @@ class InferenceEngine:
         return self._info
 
     # -- jitted pipelines (cached per input geometry) ----------------------
-    @functools.lru_cache(maxsize=32)
+    def _cached(self, key, build):
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = self._fns[key] = build()
+        return fn
+
     def _prob_fn(self, geom: I.LetterboxGeometry):
         model = self.model
 
@@ -168,9 +176,8 @@ class InferenceEngine:
             prob = jax.nn.sigmoid(logits)
             return jnp.clip(I.unletterbox(prob, geom), 0.0, 1.0)
 
-        return fn
+        return self._cached(("prob", geom), lambda: fn)
 
-    @functools.lru_cache(maxsize=32)
     def _prob_square_fn(self, geom: I.LetterboxGeometry):
         """prob map at the SQUARE (model) resolution — the quick-viewer path
         thresholds before unletterboxing (infer_pth_gui.py:45-53)."""
@@ -183,7 +190,7 @@ class InferenceEngine:
             logits = model.apply(variables, x[None], train=False)[0, :, :, 0]
             return jax.nn.sigmoid(logits)
 
-        return fn
+        return self._cached(("prob_sq", geom), lambda: fn)
 
     def infer_square(self, img_bgr: np.ndarray,
                      letterbox: Optional[LetterboxMode] = None) -> np.ndarray:
@@ -194,7 +201,6 @@ class InferenceEngine:
         rgb = jnp.asarray(img_bgr[:, :, ::-1], jnp.float32)
         return np.asarray(self._prob_square_fn(geom)(self._variables(), rgb))
 
-    @functools.lru_cache(maxsize=32)
     def _detect_fn(self, geom: I.LetterboxGeometry, post: PostprocessConfig,
                    hv: HVConfig):
         model = self.model
@@ -208,9 +214,8 @@ class InferenceEngine:
             res = postprocess(prob, post, hv)
             return prob, res
 
-        return fn
+        return self._cached(("detect", geom, post, hv), lambda: fn)
 
-    @functools.lru_cache(maxsize=8)
     def _batch_fn(self, size: int, post: PostprocessConfig, hv: HVConfig):
         model = self.model
 
@@ -222,7 +227,7 @@ class InferenceEngine:
             res = jax.vmap(lambda p: postprocess(p, post, hv))(probs)
             return probs, res
 
-        return fn
+        return self._cached(("batch", size, post, hv), lambda: fn)
 
     # -- int8 quantized serving (see vickers_tpu.quant) ---------------------
     def enable_quant(self, calib_imgs_u8: np.ndarray) -> None:
@@ -234,19 +239,22 @@ class InferenceEngine:
         folded, absmax = calibrate(self.params, self.batch_stats, calib)
         self.qparams = quantize(folded, absmax)
 
-    @functools.lru_cache(maxsize=8)
-    def _batch_fn_quant(self, size: int, post: PostprocessConfig, hv: HVConfig):
+    def _batch_fn_quant(self, size: int, post: PostprocessConfig, hv: HVConfig,
+                        fused: bool = True):
         from vickers_tpu.quant import quant_forward
+        from vickers_tpu.quant.model import quant_forward_fused
+
+        fwd = quant_forward_fused if fused else quant_forward
 
         @jax.jit
         def fn(qparams, imgs_u8):
             x = I.normalize_imagenet(imgs_u8.astype(jnp.float32))
-            logits = quant_forward(qparams, x)[..., 0]
+            logits = fwd(qparams, x)[..., 0]
             probs = jax.nn.sigmoid(logits)
             res = jax.vmap(lambda p: postprocess(p, post, hv))(probs)
             return probs, res
 
-        return fn
+        return self._cached(("batch_q", size, post, hv, fused), lambda: fn)
 
     def _variables(self):
         return {"params": self.params, "batch_stats": self.batch_stats}
@@ -279,7 +287,8 @@ class InferenceEngine:
         if quantized:
             if getattr(self, "qparams", None) is None:
                 raise RuntimeError("call enable_quant(calib_images) first")
-            fn = self._batch_fn_quant(imgs_rgb_u8.shape[1], self.cfg.post, self.cfg.hv)
+            fn = self._batch_fn_quant(imgs_rgb_u8.shape[1], self.cfg.post,
+                                      self.cfg.hv)
             return fn(self.qparams, jnp.asarray(imgs_rgb_u8))
         fn = self._batch_fn(imgs_rgb_u8.shape[1], self.cfg.post, self.cfg.hv)
         return fn(self._variables(), jnp.asarray(imgs_rgb_u8))

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vickers_tpu.core.config import IMG_EXTS, TrainConfig
-from vickers_tpu.data.loader import CachedDataset
+from vickers_tpu.data.loader import CachedDataset, prefetch_to_device
 from vickers_tpu.data.manifest import Manifest, scan, split_manifest
 from vickers_tpu.models.unet import build_model, init_model
 from vickers_tpu.train import checkpoint as ckpt
@@ -145,9 +145,9 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
         # full round trip through the TPU tunnel)
         losses, counts = [], []
         with trace(cfg.profile_dir if ep == 1 else None):
-            for imgs, masks, w, _ in train_ds.epoch_batches(
+            for imgs, masks, w, _ in prefetch_to_device(train_ds.epoch_batches(
                 cfg.batch, shuffle=True, rng=data_rng, pad_final=True
-            ):
+            )):
                 aug_key, sk = jax.random.split(aug_key)
                 state, loss = train_step(state, imgs, masks, w, sk)
                 losses.append(loss)
