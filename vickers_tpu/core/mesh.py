@@ -55,14 +55,35 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> None:
-    """Multi-host bring-up (SURVEY §5 distributed plan): wraps
-    ``jax.distributed.initialize``.  On single-host TPU or CPU this is a
-    no-op; on a pod slice each host calls it before touching devices."""
-    if num_processes in (None, 0, 1):
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+                           process_id: Optional[int] = None) -> bool:
+    """Multi-host bring-up (SURVEY §2.3/§5 distributed plan).
+
+    Wraps ``jax.distributed.initialize``; must run before any device is
+    touched.  Three modes:
+
+    - explicit args: a pod-slice launcher passes coordinator/count/id;
+    - env-gated: ``JAX_NUM_PROCESSES`` (with ``JAX_COORDINATOR_ADDRESS`` and
+      ``JAX_PROCESS_ID``, or a supported cluster env like GKE/SLURM that JAX
+      auto-detects) triggers ``jax.distributed.initialize()``;
+    - single process (neither given): graceful no-op, returns False.
+
+    After a successful init, ``jax.devices()`` spans every host and
+    ``create_mesh()`` lays the data axis over all of them — DP gradients
+    psum over ICI within a slice and DCN across hosts with no further code
+    changes (collective routing is XLA's job once the mesh is global).
+    Verified by the 2-process CPU test in tests/test_distributed.py.
+    """
+    import os
+
+    if num_processes not in (None, 0, 1):
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    env_n = os.environ.get("JAX_NUM_PROCESSES")
+    if env_n and int(env_n) > 1:
+        jax.distributed.initialize()
+        return True
+    return False
