@@ -1,5 +1,7 @@
 """Inference engine: compat API, checkpoint autoselect, tiled mode."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -104,3 +106,85 @@ def test_tiled_engine_blends_seams(engine):
     p = tiled.prob(img)
     assert p.shape == (200, 300)
     assert np.all(np.isfinite(p)) and p.min() >= 0 and p.max() <= 1
+
+
+class TestOnnxIngestion:
+    """unet.onnx load path (ui_infer_rectangle.py:474-487 preference).
+
+    Builds a wire-format-valid ONNX ModelProto from the model's own exported
+    state dict (no onnx package in this environment), then loads it back."""
+
+    @staticmethod
+    def _write_onnx(path, sd):
+        import struct
+
+        def varint(v):
+            out = b""
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                if v:
+                    out += bytes([b | 0x80])
+                else:
+                    return out + bytes([b])
+
+        def field(fnum, wt, payload):
+            return varint((fnum << 3) | wt) + payload
+
+        def ln(fnum, data):
+            return field(fnum, 2, varint(len(data)) + data)
+
+        tensors = b""
+        for name, arr in sd.items():
+            arr = np.asarray(arr, np.float32)
+            t = b""
+            for d in arr.shape:
+                t += field(1, 0, varint(d))
+            t += field(2, 0, varint(1))                 # data_type FLOAT
+            t += ln(8, name.encode())
+            t += ln(9, arr.tobytes())
+            tensors += ln(5, t)                         # graph.initializer
+        graph = tensors
+        model = ln(7, graph)                            # model.graph
+        Path(path).write_bytes(model)
+
+    def test_roundtrip(self, tmp_path):
+        import jax
+
+        from vickers_tpu.compat.convert import flax_to_torch_state_dict
+        from vickers_tpu.compat.onnx_ingest import load_onnx_params
+        from vickers_tpu.models.unet import build_model, init_model
+
+        model = build_model(dtype=jnp.float32)
+        params, stats = init_model(model, jax.random.PRNGKey(0), img_size=64)
+        sd = flax_to_torch_state_dict(params, stats)
+        self._write_onnx(tmp_path / "unet.onnx", sd)
+        p2, s2 = load_onnx_params(str(tmp_path / "unet.onnx"))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        for a, b in zip(jax.tree.leaves(stats), jax.tree.leaves(s2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_onnx_only_model_dir(self, tmp_path):
+        import jax
+
+        from vickers_tpu.compat.convert import flax_to_torch_state_dict
+        from vickers_tpu.infer.engine import InferenceEngine
+        from vickers_tpu.models.unet import build_model, init_model
+
+        model = build_model(dtype=jnp.float32)
+        params, stats = init_model(model, jax.random.PRNGKey(0), img_size=64)
+        self._write_onnx(tmp_path / "unet.onnx",
+                         flax_to_torch_state_dict(params, stats))
+        eng = InferenceEngine(model_dir=str(tmp_path), dtype=jnp.float32)
+        assert eng.ok() and eng.backend == "onnx"
+
+    def test_mangled_names_clear_error(self, tmp_path):
+        import pytest
+
+        from vickers_tpu.compat.onnx_ingest import load_onnx_params
+
+        self._write_onnx(tmp_path / "unet.onnx",
+                         {"_param_7": np.zeros((3, 3), np.float32)})
+        with pytest.raises(ValueError, match="best.pth"):
+            load_onnx_params(str(tmp_path / "unet.onnx"))

@@ -129,6 +129,7 @@ class InferenceEngine:
 
         candidates = [
             ("native", d / "best.ckpt"), ("native", d / "last.ckpt"),
+            ("onnx", d / "unet.onnx"),   # the reference's preferred artifact
             ("pth", d / "last.pth"), ("pth", d / "best.pth"),
         ]
         for kind, p in candidates:
@@ -139,6 +140,10 @@ class InferenceEngine:
                     tree = ckpt.load_native(p)
                     self.params = tree["params"]
                     self.batch_stats = tree["batch_stats"]
+                elif kind == "onnx":
+                    from vickers_tpu.compat.onnx_ingest import load_onnx_params
+
+                    self.params, self.batch_stats = load_onnx_params(str(p))
                 else:
                     from vickers_tpu.compat.convert import load_pth_params
 
