@@ -249,7 +249,15 @@ class InferenceEngine:
         from vickers_tpu.quant import quant_forward
         from vickers_tpu.quant.model import quant_forward_fused
 
-        fwd = quant_forward_fused if fused else quant_forward
+        # Pallas kernels only compile on TPU; CPU (tests) runs them in
+        # interpret mode through the same code path.
+        interpret = jax.default_backend() == "cpu"
+
+        if fused:
+            def fwd(qparams, x):
+                return quant_forward_fused(qparams, x, interpret=interpret)
+        else:
+            fwd = quant_forward
 
         @jax.jit
         def fn(qparams, imgs_u8):

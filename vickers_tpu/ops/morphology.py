@@ -52,18 +52,19 @@ def _window_reduce(mask: jax.Array, offsets, reducer, init: float) -> jax.Array:
     For tiny SEs this beats a general reduce_window: each offset is one
     jnp.roll + select, all fused by XLA."""
     h, w = mask.shape[-2], mask.shape[-1]
-    out = jnp.full_like(mask, init)
+    fill = jnp.asarray(init, mask.dtype)   # keep narrow dtypes narrow
+    out = jnp.full_like(mask, fill)
     for (dy, dx) in offsets:
         shifted = jnp.roll(mask, shift=(-dy, -dx), axis=(-2, -1))
         # roll wraps; kill wrapped rows/cols with the border value.
         if dy != 0:
             rows = jnp.arange(h)
             valid_r = (rows + dy >= 0) & (rows + dy < h)
-            shifted = jnp.where(valid_r[:, None], shifted, init)
+            shifted = jnp.where(valid_r[:, None], shifted, fill)
         if dx != 0:
             cols = jnp.arange(w)
             valid_c = (cols + dx >= 0) & (cols + dx < w)
-            shifted = jnp.where(valid_c[None, :], shifted, init)
+            shifted = jnp.where(valid_c[None, :], shifted, fill)
         out = reducer(out, shifted)
     return out
 
@@ -110,10 +111,14 @@ def clean_binary(
     close_iter: int = 1,
 ) -> jax.Array:
     """Threshold + open + close, the first stage of both reference
-    post-processors (ui_infer_rectangle.py:321-328)."""
-    mask = (prob >= bin_thresh).astype(jnp.float32)
+    post-processors (ui_infer_rectangle.py:321-328).
+
+    Internally runs on int8 (values 0/1): binary morphology is pure min/max,
+    so the narrow dtype is exact and cuts the HBM traffic of the shifted
+    window passes 4x vs float32."""
+    mask = (prob >= bin_thresh).astype(jnp.int8)
     if open_iter > 0:
         mask = morph_open(mask, morph_kernel, open_iter)
     if close_iter > 0:
         mask = morph_close(mask, morph_kernel, close_iter)
-    return mask
+    return mask.astype(jnp.float32)

@@ -193,7 +193,7 @@ def conv3x3_int8(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),           # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),              # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),          # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),          # scale (1, Co)
             pl.BlockSpec(memory_space=pltpu.VMEM),          # bias (1, Co)
