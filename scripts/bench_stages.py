@@ -1,0 +1,164 @@
+"""Stage-level serving benchmark (dependency-chained, one host fetch).
+
+Measures each pipeline stage in isolation with the same chained-salt
+methodology as bench.py, on real letterboxed images + the trained
+checkpoint.  Produces the BENCH.md stage table.
+
+Usage: python scripts/bench_stages.py [--batch 64] [--iters 20]
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def chained(fn, state0, iters):
+    """Run fn(state) -> scalar-ish chained loop; returns seconds/iter."""
+    s = state0
+    s = fn(s)          # warmup/compile
+    float(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = fn(s % 3.0)
+    float(s)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _load_images, _load_weights
+    from vickers_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from vickers_tpu.core.config import HVConfig, PostprocessConfig
+    from vickers_tpu.models.unet import build_model, init_model
+    from vickers_tpu.ops import geometry as G
+    from vickers_tpu.ops import morphology as M
+    from vickers_tpu.ops.components import (extract_components,
+                                            extract_components_runs)
+    from vickers_tpu.ops.image import normalize_imagenet
+    from vickers_tpu.ops.postprocess import postprocess
+
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 64
+    iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 20
+    size = 512
+    post = PostprocessConfig()
+    hv = HVConfig(force_kgf=0.3, um_per_px=2.0)
+
+    model = build_model(dtype=jnp.bfloat16)
+    params, stats = init_model(model, jax.random.PRNGKey(0), img_size=size)
+    params, stats = _load_weights(params, stats)
+    variables = {"params": params, "batch_stats": stats}
+    imgs = jax.device_put(_load_images(batch, size))
+
+    # reference probability maps for the geometry stages
+    @jax.jit
+    def fwd_only(v, u8, salt):
+        x = normalize_imagenet((u8 + salt.astype(jnp.uint8)).astype(jnp.float32),
+                               jnp.bfloat16)
+        logits = model.apply(v, x, train=False)[..., 0]
+        p = jax.nn.sigmoid(logits)
+        return p, jnp.sum(p[:, ::64, ::64])
+
+    probs, _ = fwd_only(variables, imgs, jnp.float32(0.0))
+    probs = jax.device_put(jax.block_until_ready(probs)).astype(jnp.float32)
+
+    results = {}
+
+    t = chained(lambda s: fwd_only(variables, imgs, s)[1], jnp.float32(0.0), iters)
+    results["forward+normalize (bf16)"] = t
+
+    try:
+        from vickers_tpu.quant import calibrate, quantize
+        from vickers_tpu.quant.model import quant_forward, quant_forward_fused
+
+        calib = normalize_imagenet(jnp.asarray(np.asarray(imgs[:8]), jnp.float32))
+        folded, absmax = calibrate(params, stats, calib)
+        qp = quantize(folded, absmax)
+
+        @jax.jit
+        def fwd_q(u8, salt, fused):
+            x = normalize_imagenet(
+                (u8 + salt.astype(jnp.uint8)).astype(jnp.float32))
+            f = quant_forward_fused if fused else quant_forward
+            p = jax.nn.sigmoid(f(qp, x)[..., 0])
+            return jnp.sum(p[:, ::64, ::64])
+
+        results["forward int8 (XLA requant)"] = chained(
+            lambda s: fwd_q(imgs, s, False), jnp.float32(0.0), iters)
+        results["forward int8 (Pallas fused)"] = chained(
+            lambda s: fwd_q(imgs, s, True), jnp.float32(0.0), iters)
+    except Exception as e:
+        print("int8 stages skipped:", e, file=sys.stderr)
+
+    @jax.jit
+    def morph_only(p, salt):
+        m = jax.vmap(lambda q: M.clean_binary(q + salt * 1e-9, post.bin_thresh,
+                                              post.morph_kernel, 1, 1))(p)
+        return jnp.sum(m[:, ::64, ::64])
+
+    results["threshold+open/close"] = chained(
+        lambda s: morph_only(probs, s), jnp.float32(0.0), iters)
+
+    try:
+        from vickers_tpu.ops.pallas_kernels import threshold_morph
+
+        @jax.jit
+        def morph_pallas(p, salt):
+            m = jax.vmap(lambda q: threshold_morph(q + salt * 1e-9,
+                                                   post.bin_thresh))(p)
+            return jnp.sum(m[:, ::64, ::64])
+
+        results["threshold+open/close (Pallas)"] = chained(
+            lambda s: morph_pallas(probs, s), jnp.float32(0.0), iters)
+    except Exception as e:
+        print("pallas morph skipped:", e, file=sys.stderr)
+
+    masks = jax.block_until_ready(jax.jit(jax.vmap(
+        lambda q: M.clean_binary(q, post.bin_thresh, post.morph_kernel, 1, 1)
+    ))(probs))
+
+    @jax.jit
+    def cc_runs(m, salt):
+        def one(mm):
+            rc = extract_components_runs(mm + salt * 1e-9, 200, 8,
+                                         post.max_runs_per_row, 16)
+            return jnp.sum(rc.areas) + jnp.sum(rc.xmin[:, ::64])
+        return jnp.sum(jax.vmap(one)(m))
+
+    results["CC+stats+extents (runs)"] = chained(
+        lambda s: cc_runs(masks, s), jnp.float32(0.0), iters)
+
+    @jax.jit
+    def cc_pixel(m, salt):
+        def one(mm):
+            c = extract_components(mm + salt * 1e-9, 200, 8, 64)
+            ext = G.row_extents(c.masks)
+            return jnp.sum(c.areas) + jnp.sum(ext.xmin[:, ::64])
+        return jnp.sum(jax.vmap(one)(m))
+
+    results["CC+stats+extents (pixel, r1)"] = chained(
+        lambda s: cc_pixel(masks, s), jnp.float32(0.0), max(5, iters // 4))
+
+    @jax.jit
+    def full_post(p, salt):
+        res = jax.vmap(lambda q: postprocess(q + salt * 1e-9, post, hv))(p)
+        d = res.detections
+        return jnp.sum(d.d_mean) + jnp.sum(d.valid)
+
+    results["full postprocess (geometry half)"] = chained(
+        lambda s: full_post(probs, s), jnp.float32(0.0), iters)
+
+    print(f"\nbatch {batch} @ {size}^2, {iters} iters, chained:")
+    for k, v in results.items():
+        print(f"  {k:36s} {v * 1000:8.2f} ms/batch "
+              f"({batch / v:8.1f} img/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -126,3 +126,34 @@ def test_resume_continues_training(tiny_data, tmp_path):
     assert hist2[0]["train_loss"] == hist1[0]["train_loss"]
     on_disk = json.loads((Path(cfg.out) / "history.json").read_text())
     assert on_disk == hist2
+
+
+def test_ema_trains_validates_and_resumes(tiny_data, tmp_path):
+    """EMA state rides in last.ckpt and survives resume; best.ckpt carries
+    the averaged weights (they are what validation scored)."""
+    cfg = _cfg(tiny_data, tmp_path, epochs=2, ema_decay=0.9)
+    h1 = run(cfg)
+    assert len(h1) == 2 and all(np.isfinite(r["val_dice"]) for r in h1)
+
+    out = Path(cfg.out)
+    from vickers_tpu.models.unet import build_model, init_model
+    from vickers_tpu.train.engine import create_train_state, make_optimizer
+
+    model = build_model(dtype=jnp.float32)
+    params, stats = init_model(model, jax.random.PRNGKey(0), cfg.img_size)
+    tx = make_optimizer(cfg)
+    state = create_train_state(model, params, stats, tx, cfg.ema_decay)
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "epoch": 0, "best_dice": 0.0,
+                "ema": state.ema}
+    tree = ckpt.load_native(out / "last.ckpt", template)
+    assert int(tree["epoch"]) == 2 and tree["ema"] is not None
+    # best.ckpt == the EMA view, not the raw weights
+    best = ckpt.load_native(out / "best.ckpt")
+    ema_leaf = jax.tree.leaves(tree["ema"]["params"])[0]
+    raw_leaf = jax.tree.leaves(tree["params"])[0]
+    assert not np.allclose(np.asarray(ema_leaf), np.asarray(raw_leaf))
+
+    cfg2 = _cfg(tiny_data, tmp_path, epochs=4, ema_decay=0.9, resume=True)
+    h2 = run(cfg2)
+    assert [r["epoch"] for r in h2] == [1, 2, 3, 4]
