@@ -146,3 +146,44 @@ class TestFusedInt8:
         # happens (bf16 storage vs f32 epilogue), so correlation is the bar
         corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
         assert corr > 0.99, corr
+
+    def test_s2d_weight_transform_exact(self):
+        import jax
+
+        from vickers_tpu.ops.pallas_conv import (depth_to_space2,
+                                                 s2d_conv_weights,
+                                                 space_to_depth2)
+
+        rng = np.random.default_rng(1)
+        x = rng.integers(-5, 6, (1, 8, 8, 3)).astype(np.int32)
+        w = rng.integers(-3, 4, (3, 3, 3, 5)).astype(np.int32)
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        ref = jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn)
+        ws = s2d_conv_weights(jnp.asarray(w))
+        xs = space_to_depth2(jnp.asarray(x))
+        dn2 = jax.lax.conv_dimension_numbers(xs.shape, ws.shape,
+                                             ("NHWC", "HWIO", "NHWC"))
+        got = depth_to_space2(jax.lax.conv_general_dilated(
+            xs, ws, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn2))
+        assert np.array_equal(np.asarray(ref), np.asarray(got))
+        # round-trip of the relayout itself
+        assert np.array_equal(np.asarray(depth_to_space2(xs)), x)
+
+    def test_s2d_tail_forward_close(self, model_and_vars):
+        from vickers_tpu.quant.model import quant_forward_fused
+
+        model, params, stats = model_and_vars
+        calib = normalize_imagenet(jnp.asarray(_imgs(4, seed=1)))
+        folded, absmax = calibrate(params, stats, calib)
+        qp = quantize(folded, absmax)
+        x = normalize_imagenet(jnp.asarray(_imgs(2, seed=2)))
+        a = np.asarray(quant_forward_fused(qp, x, interpret=True,
+                                           s2d_tail=False))
+        b = np.asarray(quant_forward_fused(qp, x, interpret=True,
+                                           s2d_tail=True))
+        # same int8 network; the s2d tail skips one bf16 storage point
+        # (strictly closer to f32), so bit equality is not expected
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.995

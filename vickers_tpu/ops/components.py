@@ -356,7 +356,10 @@ def extract_components_runs(
         sel = (slot // 32) == wi
         painted = jnp.where(
             sel, ((word[:, None] >> bit) & 1).astype(jnp.float32), painted)
-    clean = jnp.where(fg & (slot >= 0), painted, 0.0)
+    # pixels of overflow runs (slot clamped to R-1) must not inherit that
+    # slot's kept flag
+    in_bounds = starts_cum <= max_runs
+    clean = jnp.where(fg & (slot >= 0) & in_bounds, painted, 0.0)
 
     return RunComponents(
         ids=ids,

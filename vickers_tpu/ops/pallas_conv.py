@@ -212,3 +212,46 @@ def conv3x3_int8(
     )(xp, wf, scale.reshape(1, co), bias.reshape(1, co),
       out_scale_inv.reshape(1, 1))
     return out
+
+
+def depth_to_space2(x: jax.Array) -> jax.Array:
+    """Inverse of ``space_to_depth2``: (B, h, w, 4C) -> (B, 2h, 2w, C)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+def s2d_conv_weights(w: jax.Array) -> jax.Array:
+    """Rewrite a stride-1 3x3 kernel (Ci -> Co) to act on space-to-depth(2)
+    inputs: (3, 3, Ci, Co) -> (3, 3, 4Ci, 4Co).
+
+    Output group (a, b) of the s2d tensor holds original pixels
+    (2h'+a, 2w'+b); its value needs original input row 2h'+a+dy-1 =
+    2(h'+qy)+ay, i.e. s2d offset qy = (a+dy-1-ay)/2 and input group ay with
+    dy = 2qy+ay+1-a.  Invalid (dy, dx) combinations keep zero weights, so
+    the integer accumulation is bit-identical to the original conv —
+    the point is MXU utilization: low-channel high-res tail convs go from
+    Ci/Co lanes to 4Ci/4Co at a quarter of the spatial positions."""
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
+    for qy in (-1, 0, 1):
+        for ay in (0, 1):
+            for a in (0, 1):
+                dy = 2 * qy + ay + 1 - a
+                if not 0 <= dy <= 2:
+                    continue
+                for qx in (-1, 0, 1):
+                    for ax in (0, 1):
+                        for b in (0, 1):
+                            dx = 2 * qx + ax + 1 - b
+                            if not 0 <= dx <= 2:
+                                continue
+                            g_in = ay * 2 + ax
+                            g_out = a * 2 + b
+                            out = out.at[
+                                qy + 1, qx + 1,
+                                g_in * ci:(g_in + 1) * ci,
+                                g_out * co:(g_out + 1) * co,
+                            ].set(w[dy, dx])
+    return out
