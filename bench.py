@@ -40,6 +40,8 @@ _IMG_DIR = "/root/reference/data/images"
 def _load_weights(params, stats):
     from vickers_tpu.train import checkpoint as ckpt
 
+    if os.environ.get("VICKERS_BENCH_SIZE"):   # smoke mode: skip 512-shaped ckpt
+        return params, stats
     for p in _CKPTS:
         if Path(p).exists():
             tree = ckpt.load_native(p, {"params": params, "batch_stats": stats})
@@ -90,7 +92,7 @@ def main() -> None:
 
     batch = int(os.environ.get("VICKERS_BENCH_BATCH", "64"))
     iters = int(os.environ.get("VICKERS_BENCH_ITERS", "20"))
-    size = 512
+    size = int(os.environ.get("VICKERS_BENCH_SIZE", "512"))  # smoke-testing only
     use_int8 = os.environ.get("VICKERS_BENCH_QUANT", "1") not in ("0", "false")
     model = build_model(dtype=jnp.bfloat16)
     params, stats = init_model(model, jax.random.PRNGKey(0), img_size=size)
@@ -118,7 +120,9 @@ def main() -> None:
         if use_int8:
             from vickers_tpu.quant.model import quant_forward_fused
 
-            logits = quant_forward_fused(weights, x.astype(jnp.float32))[..., 0]
+            logits = quant_forward_fused(
+                weights, x.astype(jnp.float32),
+                interpret=jax.default_backend() == "cpu")[..., 0]
         else:
             logits = model.apply(weights, x, train=False)[..., 0]
         probs = jax.nn.sigmoid(logits)
