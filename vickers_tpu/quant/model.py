@@ -271,11 +271,26 @@ def quant_forward_fused_s2d(qp: QParams, x_norm: jax.Array,
                             stride=stride, relu=relu,
                             out_dtype_name="bfloat16", interpret=interpret)
 
-    # ---- encoder (identical to quant_forward_fused) -----------------------
+    # ---- encoder ----------------------------------------------------------
     f1 = xla_conv("enc.conv1", x_norm, 2, 3, True)
     y = _maxpool(f1)
     feats = []
     for L, n in _STAGE_SIZES.items():
+        if L == 1:
+            # layer1's six 64-channel convs at the highest encoder
+            # resolution also profit from the s2d domain (~2x MXU fill);
+            # the residual add/relu are elementwise, so layout-free.
+            ys = space_to_depth2(y)
+            for B in range(n):
+                mod = f"layer1_{B}"
+                idn = ys
+                out = pconv(f"enc.{mod}.conv1", ys, 1, True,
+                            out_name=f"enc.{mod}.conv2", s2d_w=True)
+                out = pconv(f"enc.{mod}.conv2", out, 1, False, s2d_w=True)
+                ys = jax.nn.relu(out + idn)
+            y = depth_to_space2(ys)
+            feats.append(y)
+            continue
         for B in range(n):
             mod = f"layer{L}_{B}"
             stride = 2 if (L > 1 and B == 0) else 1
