@@ -1,39 +1,15 @@
-"""Round-2 'one checkpoint serves both paths' run (BASELINE config 4).
+"""Round-2 mixed-scale run: one checkpoint for letterbox AND tiled paths.
 
-Interleaves reference-parity letterbox-512 batches with native-resolution
-512 crops (foreground-biased) so a single model segments BOTH the 6x-reduced
-letterbox scale and native microscope scale — the requirement for tiled
-full-res inference to be accurate (round-1 BENCH.md: the letterbox-only
-checkpoint collapses at native scale, mask IoU 0.03).
-
-Validation tracks letterbox val Dice on the same 18-image split as the
-reference; best checkpoint = best letterbox Dice (the compat headline), with
-the tiled acceptance measured separately by scripts/eval_tiled.py.
-"""
-import json
+Thin wrapper over vickers_tpu.train.mixed.run_mixed_training (also
+reachable as `cli train --mode mixed`)."""
 import logging
 import sys
-import time
-from pathlib import Path
 
 sys.path.insert(0, "/root/repo")
 logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
-log = logging.getLogger("train_mixed")
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from vickers_tpu.core.config import IMG_EXTS, AugmentConfig, TrainConfig
-from vickers_tpu.data.crops import CropDataset
-from vickers_tpu.data.loader import CachedDataset, prefetch_to_device
-from vickers_tpu.data.manifest import scan, split_manifest
-from vickers_tpu.models.unet import build_model, init_model
-from vickers_tpu.train import checkpoint as ckpt
-from vickers_tpu.train.engine import (cosine_epoch_lr, create_train_state,
-                                      make_eval_step, make_optimizer,
-                                      make_train_step, set_lr)
-from vickers_tpu.train.loop import set_seed
+from vickers_tpu.core.config import AugmentConfig, TrainConfig
+from vickers_tpu.train.mixed import run_mixed_training
 
 cfg = TrainConfig(
     data="/root/reference/data",
@@ -41,111 +17,10 @@ cfg = TrainConfig(
     lr=1e-3,
     out="runs/unet_r34_mixed512_r2",
     ema_decay=0.999,
+    resume=True,
+    checkpoint_every=25,
     augment=AugmentConfig(scale_p=0.5, scale_limit=0.3),
 )
-CROP_BATCHES_PER_EPOCH = 12   # vs 21 letterbox batches (164 imgs / batch 8)
-
-root_key = set_seed(cfg.seed)
-man = scan(cfg.data, require_masks=True, drop_orphans=True)
-full_paths = sorted(str(p) for p in (Path(cfg.data) / "images").glob("*")
-                    if p.suffix.lower() in IMG_EXTS)
-train_man, val_man = split_manifest(man, cfg.seed, cfg.val_ratio, full_paths)
-train_ds = CachedDataset(train_man, cfg.img_size)
-val_ds = CachedDataset(val_man, cfg.img_size)
-crop_ds = CropDataset(train_man, tile=cfg.img_size, fg_bias=0.65)
-log.info("letterbox train %d, crops from %d full-res images, val %d",
-         len(train_ds), len(crop_ds), len(val_ds))
-
-model = build_model(dtype=jnp.bfloat16)
-params, stats = init_model(model, jax.random.PRNGKey(0), cfg.img_size)
-tx = make_optimizer(cfg)
-state = create_train_state(model, params, stats, tx, cfg.ema_decay)
-train_step = make_train_step(model, tx, cfg.augment, cfg.ema_decay)
-eval_step = make_eval_step(model)
-lr_of = cosine_epoch_lr(cfg.lr, cfg.epochs)
-
-out_dir = Path(cfg.out)
-out_dir.mkdir(parents=True, exist_ok=True)
-start_ep, best_dice, history = 1, -1.0, []
-if (out_dir / "last.ckpt").exists():
-    template = {"params": state.params, "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state, "epoch": 0, "best_dice": 0.0,
-                "ema": state.ema}
-    tree = ckpt.load_native(out_dir / "last.ckpt", template)
-    state = state.replace(params=tree["params"], batch_stats=tree["batch_stats"],
-                          opt_state=tree["opt_state"], ema=tree["ema"])
-    start_ep = int(tree["epoch"]) + 1
-    best_dice = float(tree["best_dice"])
-    hist_file = out_dir / "history.json"
-    if hist_file.exists():
-        history = json.loads(hist_file.read_text())[: start_ep - 1]
-    log.info("resumed at epoch %d (best %.4f)", start_ep, best_dice)
-
-data_rng = np.random.default_rng(cfg.seed + start_ep)
-crop_rng = np.random.default_rng(cfg.seed * 7 + start_ep)
-aug_key = jax.random.fold_in(root_key, start_ep)
-
-for ep in range(start_ep, cfg.epochs + 1):
-    t0 = time.time()
-    state = set_lr(state, float(lr_of(jnp.asarray(ep - 1))))
-    losses = []
-
-    def batches():
-        lb = train_ds.epoch_batches(cfg.batch, shuffle=True, rng=data_rng,
-                                    pad_final=True)
-        cb = crop_ds.epoch_batches(cfg.batch, CROP_BATCHES_PER_EPOCH, crop_rng)
-        # interleave: letterbox-heavy, crops spread through the epoch
-        lbs, cbs = list(lb), list(cb)
-        out = []
-        ratio = max(1, len(lbs) // max(1, len(cbs)))
-        ci = 0
-        for i, b in enumerate(lbs):
-            out.append(b)
-            if (i + 1) % ratio == 0 and ci < len(cbs):
-                out.append(cbs[ci]); ci += 1
-        out.extend(cbs[ci:])
-        return out
-
-    for imgs, masks, w, _ in prefetch_to_device(iter(batches())):
-        aug_key, sk = jax.random.split(aug_key)
-        state, loss = train_step(state, imgs, masks, w, sk)
-        losses.append(loss)
-    train_loss = float(np.mean(np.asarray(jnp.stack(losses), np.float64)))
-    if not np.isfinite(train_loss):
-        raise FloatingPointError(f"non-finite loss at ep {ep}")
-
-    eval_state = state if state.ema is None else state.replace(
-        params=state.ema["params"], batch_stats=state.ema["batch_stats"])
-    ds_sum = n_sum = loss_sum = iou_sum = 0.0
-    nb = 0
-    for imgs, masks, w, _ in val_ds.epoch_batches(cfg.batch, shuffle=False,
-                                                  pad_final=True):
-        out = eval_step(eval_state, imgs, masks, w)
-        n = float(out.n)
-        ds_sum += float(out.dice_sum) / max(n, 1.0)
-        iou_sum += float(out.iou_sum) / max(n, 1.0)
-        loss_sum += float(out.loss_sum); n_sum += n; nb += 1
-    val_dice, val_iou = ds_sum / nb, iou_sum / nb
-    rec = {"epoch": ep, "train_loss": train_loss,
-           "val_loss": loss_sum / max(n_sum, 1.0), "val_dice": val_dice,
-           "val_iou": val_iou, "lr": float(lr_of(jnp.asarray(ep))),
-           "time": round(time.time() - t0, 2)}
-    history.append(rec)
-    log.info("Ep %03d | train %.4f | Dice %.4f | IoU %.4f | %.2fs",
-             ep, train_loss, val_dice, val_iou, rec["time"])
-
-    if val_dice > best_dice:
-        best_dice = val_dice
-        ckpt.save_native(out_dir / "best.ckpt", {
-            "params": eval_state.params, "batch_stats": eval_state.batch_stats})
-        ckpt.export_pth(out_dir / "best.pth", eval_state.params,
-                        eval_state.batch_stats)
-    if ep % 25 == 0 or ep == cfg.epochs:
-        ckpt.save_native(out_dir / "last.ckpt", {
-            "params": state.params, "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state, "epoch": ep, "best_dice": best_dice,
-            "ema": state.ema})
-        (out_dir / "history.json").write_text(json.dumps(history, indent=2))
-
-(out_dir / "history.json").write_text(json.dumps(history, indent=2))
-print(f"DONE best_val_dice={best_dice:.5f}")
+hist = run_mixed_training(cfg, crop_batches_per_epoch=12)
+best = max(h["val_dice"] for h in hist)
+print(f"DONE best_val_dice={best:.5f}")

@@ -42,13 +42,20 @@ def _add_train(sub):
                    choices=["bfloat16", "float32"])
     p.add_argument("--resume", action="store_true",
                    help="continue from <out>/last.ckpt (full train state)")
-    p.add_argument("--mode", choices=["letterbox", "crop"], default="letterbox",
+    p.add_argument("--mode", choices=["letterbox", "crop", "mixed"],
+                   default="letterbox",
                    help="letterbox = reference recipe; crop = native-"
                         "resolution random crops (for tiled inference)")
     p.add_argument("--steps-per-epoch", type=int, default=40,
                    help="crop mode: sampled batches per epoch")
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--profile-dir", default=None)
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="EMA of params+BN stats; validated/exported when >0")
+    p.add_argument("--scale-p", type=float, default=0.0,
+                   help="probability of random scale jitter (aug extension)")
+    p.add_argument("--scale-limit", type=float, default=0.0,
+                   help="scale jitter range: scale in [1-s, 1+s]")
 
 
 def _add_infer(sub):
@@ -85,6 +92,8 @@ def _cmd_train(args) -> int:
     from vickers_tpu.core.config import ModelConfig, TrainConfig
     from vickers_tpu.train.loop import run
 
+    from vickers_tpu.core.config import AugmentConfig
+
     ew = None if args.encoder_weights in ("none", "None", "") else args.encoder_weights
     cfg = TrainConfig(
         data=args.data, img_size=args.img_size, epochs=args.epochs,
@@ -95,12 +104,18 @@ def _cmd_train(args) -> int:
         early_stop_patience=args.early_stop_patience,
         model=ModelConfig(encoder=args.encoder, compute_dtype=args.compute_dtype),
         resume=args.resume, checkpoint_every=args.checkpoint_every,
-        profile_dir=args.profile_dir,
+        profile_dir=args.profile_dir, ema_decay=args.ema_decay,
+        augment=AugmentConfig(scale_p=args.scale_p,
+                              scale_limit=args.scale_limit),
     )
     if args.mode == "crop":
         from vickers_tpu.train.crops import run_crop_training
 
         run_crop_training(cfg, steps_per_epoch=args.steps_per_epoch)
+    elif args.mode == "mixed":
+        from vickers_tpu.train.mixed import run_mixed_training
+
+        run_mixed_training(cfg)
     else:
         run(cfg)
     return 0

@@ -60,8 +60,8 @@ def run_crop_training(cfg: TrainConfig, steps_per_epoch: int = 40,
     init_key, _ = jax.random.split(root_key)
     params, batch_stats = init_model(model, init_key, cfg.img_size)
     tx = make_optimizer(cfg)
-    state = create_train_state(model, params, batch_stats, tx)
-    train_step = make_train_step(model, tx, cfg.augment)
+    state = create_train_state(model, params, batch_stats, tx, cfg.ema_decay)
+    train_step = make_train_step(model, tx, cfg.augment, cfg.ema_decay)
     eval_step = make_eval_step(model)
     lr_of = cosine_epoch_lr(cfg.lr, cfg.epochs)
 
@@ -92,7 +92,9 @@ def run_crop_training(cfg: TrainConfig, steps_per_epoch: int = 40,
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses)))
 
-        evs = [eval_step(state, i, m, w) for i, m, w, _ in val_batches]
+        eval_state = state if state.ema is None else state.replace(
+            params=state.ema["params"], batch_stats=state.ema["batch_stats"])
+        evs = [eval_step(eval_state, i, m, w) for i, m, w, _ in val_batches]
         n = float(np.sum([float(e.n) for e in evs]))
         val_loss = float(np.sum([float(e.loss_sum) for e in evs]) / max(1.0, n))
         val_dice = float(np.sum([float(e.dice_sum) for e in evs]) / max(1.0, n))
@@ -109,8 +111,10 @@ def run_crop_training(cfg: TrainConfig, steps_per_epoch: int = 40,
         if val_dice > best_dice:
             best_dice = val_dice
             ckpt.save_native(out_dir / "best.ckpt", {
-                "params": state.params, "batch_stats": state.batch_stats})
-            ckpt.export_pth(out_dir / "best.pth", state.params, state.batch_stats)
+                "params": eval_state.params,
+                "batch_stats": eval_state.batch_stats})
+            ckpt.export_pth(out_dir / "best.pth", eval_state.params,
+                            eval_state.batch_stats)
         if ep % max(1, cfg.checkpoint_every) == 0 or ep == cfg.epochs:
             ckpt.save_native(out_dir / "last.ckpt", {
                 "params": state.params, "batch_stats": state.batch_stats,
