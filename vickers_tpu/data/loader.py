@@ -98,19 +98,18 @@ class CachedDataset:
     def __len__(self) -> int:
         return len(self.stems)
 
-    def epoch_batches(
+    def epoch_index_batches(
         self,
         batch_size: int,
         shuffle: bool,
         rng: Optional[np.random.Generator] = None,
         drop_remainder: bool = False,
         pad_final: bool = False,
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]]:
-        """Yields (images_u8 (B,S,S,3), masks_u8 (B,S,S), weights (B,), stems).
-
-        ``weights`` marks real samples (1.0) vs padding (0.0) when the final
-        partial batch is padded up to ``batch_size`` (needed so jitted steps
-        see a single static batch shape without biasing the loss)."""
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, List[str]]]:
+        """Yields (idx (B,) int32, weights (B,), stems) — for the indexed
+        train/eval steps that gather batches from a device-resident dataset
+        (engine.make_indexed_train_step).  ``weights`` marks real samples
+        vs final-batch padding."""
         n = len(self)
         order = np.arange(n)
         if shuffle:
@@ -126,11 +125,24 @@ class CachedDataset:
             if pad:
                 w[-pad:] = 0.0
             yield (
-                self.images[idx],
-                self.masks[idx],
+                idx.astype(np.int32),
                 w,
                 [self.stems[i] for i in idx[: len(idx) - pad]],
             )
+
+    def epoch_batches(
+        self,
+        batch_size: int,
+        shuffle: bool,
+        rng: Optional[np.random.Generator] = None,
+        drop_remainder: bool = False,
+        pad_final: bool = False,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]]:
+        """Yields (images_u8 (B,S,S,3), masks_u8 (B,S,S), weights (B,), stems)."""
+        for idx, w, stems in self.epoch_index_batches(
+            batch_size, shuffle, rng, drop_remainder, pad_final
+        ):
+            yield self.images[idx], self.masks[idx], w, stems
 
 
 def prefetch_to_device(batches, depth: int = 2):
@@ -143,9 +155,17 @@ def prefetch_to_device(batches, depth: int = 2):
 
     import jax
 
+    # The axon TPU relay pins host staging buffers for explicitly
+    # device_put arrays (measured ~120 MB leaked per epoch over a long
+    # training run); on that platform fall back to handing the jitted step
+    # plain numpy (implicit transfer, which does not leak).  CPU/standard
+    # TPU backends get the real double-buffered prefetch.
+    explicit = jax.default_backend() != "axon"
     buf = collections.deque()
 
     def put(item):
+        if not explicit:
+            return item
         imgs, masks, w, stems = item
         return (jax.device_put(imgs), jax.device_put(masks),
                 jax.device_put(w), stems)

@@ -176,3 +176,36 @@ def make_eval_step(model: VickersUNet):
         )
 
     return eval_step
+
+
+def make_indexed_train_step(model: VickersUNet,
+                            tx: optax.GradientTransformation,
+                            aug: Optional[AugmentConfig],
+                            ema_decay: float = 0.0):
+    """Train step that gathers its batch ON DEVICE from a device-resident
+    dataset: ``step(state, imgs_all, masks_all, idx, weights, key)``.
+
+    The reference dataset is ~170 MB as uint8 — it lives in HBM for the
+    whole run and each step transfers only a (B,) index vector.  Besides
+    removing the per-step H2D input stream entirely, this sidesteps a host
+    memory leak in the axon TPU relay, which pins staging memory for every
+    host->device transfer (~220 MB/epoch measured — an OOM kill around
+    epoch 600 of a batch-8 run)."""
+    base = make_train_step(model, tx, aug, ema_decay)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, imgs_all, masks_all, idx, weights, key):
+        return base.__wrapped__(state, imgs_all[idx], masks_all[idx],
+                                weights, key)
+
+    return step
+
+
+def make_indexed_eval_step(model: VickersUNet):
+    base = make_eval_step(model)
+
+    @jax.jit
+    def step(state: TrainState, imgs_all, masks_all, idx, weights) -> EvalOut:
+        return base.__wrapped__(state, imgs_all[idx], masks_all[idx], weights)
+
+    return step

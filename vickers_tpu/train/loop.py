@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vickers_tpu.core.config import IMG_EXTS, TrainConfig
-from vickers_tpu.data.loader import CachedDataset, prefetch_to_device
+from vickers_tpu.data.loader import CachedDataset
 from vickers_tpu.data.manifest import Manifest, scan, split_manifest
 from vickers_tpu.models.unet import build_model, init_model
 from vickers_tpu.train import checkpoint as ckpt
@@ -41,9 +41,9 @@ from vickers_tpu.train.engine import (
     EvalOut,
     cosine_epoch_lr,
     create_train_state,
-    make_eval_step,
+    make_indexed_eval_step,
+    make_indexed_train_step,
     make_optimizer,
-    make_train_step,
     set_lr,
 )
 from vickers_tpu.train.visuals import save_batch_visuals
@@ -96,9 +96,16 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
 
     tx = make_optimizer(cfg)
     state = create_train_state(model, params, batch_stats, tx, cfg.ema_decay)
-    train_step = make_train_step(model, tx, cfg.augment, cfg.ema_decay)
-    eval_step = make_eval_step(model)
+    train_step = make_indexed_train_step(model, tx, cfg.augment, cfg.ema_decay)
+    eval_step = make_indexed_eval_step(model)
     lr_of = cosine_epoch_lr(cfg.lr, cfg.epochs)
+
+    # the whole (tiny) dataset lives in HBM for the run; steps gather their
+    # batches on device from an index vector (no per-step input stream)
+    dev_imgs = jax.device_put(train_ds.images)
+    dev_masks = jax.device_put(train_ds.masks)
+    vdev_imgs = jax.device_put(val_ds.images)
+    vdev_masks = jax.device_put(val_ds.masks)
 
     out_dir = Path(cfg.out)
     (out_dir / "val_vis").mkdir(parents=True, exist_ok=True)
@@ -145,11 +152,11 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
         # full round trip through the TPU tunnel)
         losses, counts = [], []
         with trace(cfg.profile_dir if ep == 1 else None):
-            for imgs, masks, w, _ in prefetch_to_device(train_ds.epoch_batches(
+            for idx, w, _ in train_ds.epoch_index_batches(
                 cfg.batch, shuffle=True, rng=data_rng, pad_final=True
-            )):
+            ):
                 aug_key, sk = jax.random.split(aug_key)
-                state, loss = train_step(state, imgs, masks, w, sk)
+                state, loss = train_step(state, dev_imgs, dev_masks, idx, w, sk)
                 losses.append(loss)
                 counts.append(w.sum())
         counts = np.asarray(counts, np.float64)
@@ -177,16 +184,17 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
                 params=state.ema["params"], batch_stats=state.ema["batch_stats"])
         ep_vis_dir = out_dir / "val_vis" / f"ep_{ep:03d}"
         evals = []
-        for imgs, masks, w, stems in val_ds.epoch_batches(
+        for idx, w, stems in val_ds.epoch_index_batches(
             cfg.batch, shuffle=False, pad_final=True
         ):
-            out: EvalOut = eval_step(eval_state, imgs, masks, w)
+            out: EvalOut = eval_step(eval_state, vdev_imgs, vdev_masks, idx, w)
             evals.append(out)
             if cfg.dump_all_val:
                 k = len(stems)
-                x = np.asarray(normalize_imagenet(jnp.asarray(imgs[:k], jnp.float32)))
+                imgs_np = val_ds.images[idx[:k]]
+                x = np.asarray(normalize_imagenet(jnp.asarray(imgs_np, jnp.float32)))
                 save_batch_visuals(
-                    x, masks[:k].astype(np.float32),
+                    x, val_ds.masks[idx[:k]].astype(np.float32),
                     np.asarray(out.prob)[:k, :, :, 0], stems, ep_vis_dir,
                 )
         ls = np.asarray(jnp.stack([e.loss_sum for e in evals]), np.float64)
@@ -241,13 +249,14 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
 
         if cfg.dump_all_train:
             tr_vis = out_dir / "train_vis" / f"ep_{ep:03d}"
-            for imgs, masks, w, stems in train_ds.epoch_batches(
+            for idx, w, stems in train_ds.epoch_index_batches(
                 cfg.batch, shuffle=False, pad_final=True
             ):
-                out = eval_step(eval_state, imgs, masks, w)
+                out = eval_step(eval_state, dev_imgs, dev_masks, idx, w)
                 k = len(stems)
-                x = np.asarray(normalize_imagenet(jnp.asarray(imgs[:k], jnp.float32)))
-                save_batch_visuals(x, masks[:k].astype(np.float32),
+                imgs_np = train_ds.images[idx[:k]]
+                x = np.asarray(normalize_imagenet(jnp.asarray(imgs_np, jnp.float32)))
+                save_batch_visuals(x, train_ds.masks[idx[:k]].astype(np.float32),
                                    np.asarray(out.prob)[:k, :, :, 0], stems, tr_vis)
 
         if patience is not None and no_improve >= patience:

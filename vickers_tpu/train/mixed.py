@@ -26,14 +26,15 @@ import numpy as np
 
 from vickers_tpu.core.config import IMG_EXTS, TrainConfig
 from vickers_tpu.data.crops import CropDataset
-from vickers_tpu.data.loader import CachedDataset, prefetch_to_device
+from vickers_tpu.data.loader import CachedDataset
 from vickers_tpu.data.manifest import scan, split_manifest
 from vickers_tpu.models.unet import build_model, init_model
 from vickers_tpu.train import checkpoint as ckpt
 from vickers_tpu.train.engine import (
     cosine_epoch_lr,
     create_train_state,
-    make_eval_step,
+    make_indexed_eval_step,
+    make_indexed_train_step,
     make_optimizer,
     make_train_step,
     set_lr,
@@ -66,9 +67,17 @@ def run_mixed_training(cfg: TrainConfig, crop_batches_per_epoch: int = 12,
     params, stats = init_model(model, jax.random.PRNGKey(0), cfg.img_size)
     tx = make_optimizer(cfg)
     state = create_train_state(model, params, stats, tx, cfg.ema_decay)
+    # letterbox batches gather on device (no per-step H2D; see
+    # make_indexed_train_step docstring); crop batches are host-sampled
+    train_step_idx = make_indexed_train_step(model, tx, cfg.augment,
+                                             cfg.ema_decay)
     train_step = make_train_step(model, tx, cfg.augment, cfg.ema_decay)
-    eval_step = make_eval_step(model)
+    eval_step = make_indexed_eval_step(model)
     lr_of = cosine_epoch_lr(cfg.lr, cfg.epochs)
+    dev_imgs = jax.device_put(train_ds.images)
+    dev_masks = jax.device_put(train_ds.masks)
+    vdev_imgs = jax.device_put(val_ds.images)
+    vdev_masks = jax.device_put(val_ds.masks)
 
     out_dir = Path(cfg.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -100,10 +109,10 @@ def run_mixed_training(cfg: TrainConfig, crop_batches_per_epoch: int = 12,
         state = set_lr(state, float(lr_of(jnp.asarray(ep - 1))))
         losses = []
 
-        lbs = list(train_ds.epoch_batches(cfg.batch, shuffle=True,
-                                          rng=data_rng, pad_final=True))
-        cbs = list(crop_ds.epoch_batches(cfg.batch, crop_batches_per_epoch,
-                                         crop_rng))
+        lbs = [("idx",) + b for b in train_ds.epoch_index_batches(
+            cfg.batch, shuffle=True, rng=data_rng, pad_final=True)]
+        cbs = [("crop",) + b for b in crop_ds.epoch_batches(
+            cfg.batch, crop_batches_per_epoch, crop_rng)]
         mixed = []
         ratio = max(1, len(lbs) // max(1, len(cbs)))
         ci = 0
@@ -114,9 +123,15 @@ def run_mixed_training(cfg: TrainConfig, crop_batches_per_epoch: int = 12,
                 ci += 1
         mixed.extend(cbs[ci:])
 
-        for imgs, masks, w, _ in prefetch_to_device(iter(mixed)):
+        for b in mixed:
             aug_key, sk = jax.random.split(aug_key)
-            state, loss = train_step(state, imgs, masks, w, sk)
+            if b[0] == "idx":
+                _, idx, w, _stems = b
+                state, loss = train_step_idx(state, dev_imgs, dev_masks,
+                                             idx, w, sk)
+            else:
+                _, imgs, masks, w, _stems = b
+                state, loss = train_step(state, imgs, masks, w, sk)
             losses.append(loss)
         train_loss = float(np.mean(np.asarray(jnp.stack(losses), np.float64)))
         if not np.isfinite(train_loss):
@@ -130,9 +145,9 @@ def run_mixed_training(cfg: TrainConfig, crop_batches_per_epoch: int = 12,
             params=state.ema["params"], batch_stats=state.ema["batch_stats"])
         ds_sum = iou_sum = loss_sum = n_sum = 0.0
         nb = 0
-        for imgs, masks, w, _ in val_ds.epoch_batches(cfg.batch, shuffle=False,
-                                                      pad_final=True):
-            out = eval_step(eval_state, imgs, masks, w)
+        for idx, w, _ in val_ds.epoch_index_batches(cfg.batch, shuffle=False,
+                                                    pad_final=True):
+            out = eval_step(eval_state, vdev_imgs, vdev_masks, idx, w)
             n = float(out.n)
             ds_sum += float(out.dice_sum) / max(n, 1.0)
             iou_sum += float(out.iou_sum) / max(n, 1.0)
