@@ -81,18 +81,21 @@ def main():
         folded, absmax = calibrate(params, stats, calib)
         qp = quantize(folded, absmax)
 
-        @jax.jit
-        def fwd_q(u8, salt, fused):
-            x = normalize_imagenet(
-                (u8 + salt.astype(jnp.uint8)).astype(jnp.float32))
-            f = quant_forward_fused if fused else quant_forward
-            p = jax.nn.sigmoid(f(qp, x)[..., 0])
-            return jnp.sum(p[:, ::64, ::64])
+        def make_fwd_q(fused):
+            @jax.jit
+            def fwd_q(u8, salt):
+                x = normalize_imagenet(
+                    (u8 + salt.astype(jnp.uint8)).astype(jnp.float32))
+                f = quant_forward_fused if fused else quant_forward
+                p = jax.nn.sigmoid(f(qp, x)[..., 0])
+                return jnp.sum(p[:, ::64, ::64])
+            return fwd_q
 
+        fq_xla, fq_pal = make_fwd_q(False), make_fwd_q(True)
         results["forward int8 (XLA requant)"] = chained(
-            lambda s: fwd_q(imgs, s, False), jnp.float32(0.0), iters)
+            lambda s: fq_xla(imgs, s), jnp.float32(0.0), iters)
         results["forward int8 (Pallas fused)"] = chained(
-            lambda s: fwd_q(imgs, s, True), jnp.float32(0.0), iters)
+            lambda s: fq_pal(imgs, s), jnp.float32(0.0), iters)
     except Exception as e:
         print("int8 stages skipped:", e, file=sys.stderr)
 

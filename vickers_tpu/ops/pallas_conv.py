@@ -93,10 +93,12 @@ def _make_kernel(taps, th: int, w_out: int, ci: int, co: int,
         for c_i in range(n_wc):
             w0 = c_i * wc
             first = True
-            for (oy, ox, grp, dy, dx) in taps:
-                patch = xbuf[pl.ds(oy, th), pl.ds(w0 + ox, wc),
-                             pl.ds(grp * ci, ci)]
-                wk = w_ref[pl.ds((dy * 3 + dx) * ci, ci), :]
+            for t, (oy, ox, grp, dy, dx) in enumerate(taps):
+                # full-channel patch: Mosaic only allows lane slices in
+                # 128-multiples, so channel-group selection lives in the
+                # (zero-padded) weight rows instead of a patch slice
+                patch = xbuf[pl.ds(oy, th), pl.ds(w0 + ox, wc), :]
+                wk = w_ref[pl.ds(t * ci, ci), :]
                 prod = jax.lax.dot_general(
                     patch.reshape(th * wc, ci), wk,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -116,7 +118,7 @@ def _make_kernel(taps, th: int, w_out: int, ci: int, co: int,
     return kernel
 
 
-def _pick_tiles(h_out: int, w_out: int, ci_g: int, co: int):
+def _pick_tiles(h_out: int, w_out: int, wp: int, ci_g: int, co: int):
     """Choose (row-tile, w-chunk) so the slab + accumulator fit comfortably
     in VMEM (~6 MB budget) while keeping the program count low."""
     vmem = 6 * 1024 * 1024
@@ -125,7 +127,7 @@ def _pick_tiles(h_out: int, w_out: int, ci_g: int, co: int):
         if h_out % th and th != h_out:
             continue
         th_eff = min(th, h_out)
-        slab = (th_eff + 2) * (w_out + 2) * ci_g
+        slab = (th_eff + 2) * wp * ci_g
         for wc in (w_out, 256, 128, 64):
             if wc > w_out or (w_out % wc):
                 continue
@@ -169,23 +171,46 @@ def conv3x3_int8(
             h, w_in = x.shape[1], x.shape[2]
         xs = space_to_depth2(x)                     # (B, H/2, W/2, 4Ci)
         h_out, w_out = h // 2, w_in // 2
-        xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        base = xs
         taps = _TAPS_S2D
         ci_g = 4 * ci
     elif stride == 1:
         h_out, w_out = h, w_in
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        # lane alignment: int8 HBM slices need the channel dim to be <=128
+        # or a 128-multiple; pad input channels (and kernel rows) with zeros
+        if ci > 128 and ci % 128:
+            cp = -(-ci // 128) * 128
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - ci)))
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, cp - ci), (0, 0)))
+            ci = cp
+        base = x
         taps = _TAPS_3X3
         ci_g = ci
     else:
         raise ValueError(f"stride {stride} unsupported")
+    # Mosaic requires memref slices (DMA sources, output blocks) to keep the
+    # minor dim a 128-multiple and the second-to-minor a 32-multiple for
+    # int8; pad width, input channels and output channels accordingly (the
+    # padding is zeros and zero weight rows — exact, just wasted lanes).
+    wp = -(-(w_out + 2) // 32) * 32
+    ci_gp = max(128, -(-ci_g // 128) * 128)
+    co_p = max(128, -(-co // 128) * 128)
+    xp = jnp.pad(base, ((0, 0), (1, 1), (1, wp - w_out - 1),
+                        (0, ci_gp - ci_g)))
 
-    # weights -> (9*Ci, Co) in (dy, dx) major order
-    wf = w.transpose(0, 1, 2, 3).reshape(9 * ci, co)
+    # per-tap weight blocks over the FULL padded channel width: block t
+    # holds w[dy_t, dx_t] at rows [grp_t*ci, (grp_t+1)*ci), zeros elsewhere
+    wf = jnp.zeros((9 * ci_gp, co_p), w.dtype)
+    for t, (oy, ox, grp, dy, dx) in enumerate(taps):
+        wf = wf.at[t * ci_gp + grp * ci:t * ci_gp + (grp + 1) * ci,
+                   :co].set(w[dy, dx])
+    scale = jnp.pad(scale, (0, co_p - co))
+    bias = jnp.pad(bias, (0, co_p - co))
 
-    th, wc = _pick_tiles(h_out, w_out, ci_g, co)
+    th, wc = _pick_tiles(h_out, w_out, wp, ci_gp, co_p)
     n_wc = w_out // wc
-    kernel = _make_kernel(taps, th, w_out, ci, co, relu, out_dtype, n_wc, wc)
+    kernel = _make_kernel(taps, th, w_out, ci_gp, co_p, relu, out_dtype,
+                          n_wc, wc)
 
     # pad W+2 up so strided W-chunks stay in bounds: xp width = w_out + 2
     grid = (b, h_out // th)
@@ -200,18 +225,18 @@ def conv3x3_int8(
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # out_scale_inv
         ],
         out_specs=pl.BlockSpec(
-            (1, th, w_out, co), lambda bb, ii: (bb, ii, 0, 0),
+            (1, th, w_out, co_p), lambda bb, ii: (bb, ii, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, co), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, co_p), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, w_out + 2, ci_g), jnp.int8),
-            pltpu.VMEM((th * wc, co), jnp.int32),
+            pltpu.VMEM((th + 2, wp, ci_gp), jnp.int8),
+            pltpu.VMEM((th * wc, co_p), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(xp, wf, scale.reshape(1, co), bias.reshape(1, co),
+    )(xp, wf, scale.reshape(1, co_p), bias.reshape(1, co_p),
       out_scale_inv.reshape(1, 1))
-    return out
+    return out[..., :co]
 
 
 def depth_to_space2(x: jax.Array) -> jax.Array:
