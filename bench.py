@@ -118,11 +118,18 @@ def main() -> None:
         imgs_u8 = imgs_u8 + salt.astype(jnp.uint8)
         x = normalize_imagenet(imgs_u8.astype(jnp.float32), jnp.bfloat16)
         if use_int8:
+            from vickers_tpu.quant import quant_forward
             from vickers_tpu.quant.model import quant_forward_fused
 
-            logits = quant_forward_fused(
-                weights, x.astype(jnp.float32),
-                interpret=jax.default_backend() == "cpu")[..., 0]
+            # measured on-chip this round: the XLA int8 path (48.5 ms
+            # forward) currently beats the first-cut Pallas fused kernels
+            # (no DMA double-buffering yet); env-selectable
+            if os.environ.get("VICKERS_BENCH_FUSED", "0") == "1":
+                logits = quant_forward_fused(
+                    weights, x.astype(jnp.float32),
+                    interpret=jax.default_backend() == "cpu")[..., 0]
+            else:
+                logits = quant_forward(weights, x.astype(jnp.float32))[..., 0]
         else:
             logits = model.apply(weights, x, train=False)[..., 0]
         probs = jax.nn.sigmoid(logits)
