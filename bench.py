@@ -18,7 +18,8 @@ results are never observed — ``block_until_ready`` alone measures nothing on
 the axon relay.
 
 Env knobs: VICKERS_BENCH_QUANT=0|1 (default 1: int8 fused Pallas convs),
-VICKERS_BENCH_BATCH (default 64), VICKERS_BENCH_ITERS (default 20).
+VICKERS_BENCH_BATCH (default 256: the geometry row-scans are latency-bound,
+so large batches amortize them), VICKERS_BENCH_ITERS (default 20).
 
 Baseline: the reference's single-stream ONNX GUI inference is ~4.5
 512^2-images/sec (226.7 ms for a 3072x2048 image == 512^2 model forward +
@@ -90,7 +91,7 @@ def main() -> None:
     from vickers_tpu.ops.image import normalize_imagenet
     from vickers_tpu.ops.postprocess import postprocess
 
-    batch = int(os.environ.get("VICKERS_BENCH_BATCH", "64"))
+    batch = int(os.environ.get("VICKERS_BENCH_BATCH", "256"))
     iters = int(os.environ.get("VICKERS_BENCH_ITERS", "20"))
     size = int(os.environ.get("VICKERS_BENCH_SIZE", "512"))  # smoke-testing only
     use_int8 = os.environ.get("VICKERS_BENCH_QUANT", "1") not in ("0", "false")
