@@ -108,20 +108,6 @@ def main():
     results["threshold+open/close"] = chained(
         lambda s: morph_only(probs, s), jnp.float32(0.0), iters)
 
-    try:
-        from vickers_tpu.ops.pallas_kernels import threshold_morph
-
-        @jax.jit
-        def morph_pallas(p, salt):
-            m = jax.vmap(lambda q: threshold_morph(q + salt * 1e-9,
-                                                   post.bin_thresh))(p)
-            return jnp.sum(m[:, ::64, ::64])
-
-        results["threshold+open/close (Pallas)"] = chained(
-            lambda s: morph_pallas(probs, s), jnp.float32(0.0), iters)
-    except Exception as e:
-        print("pallas morph skipped:", e, file=sys.stderr)
-
     masks = jax.block_until_ready(jax.jit(jax.vmap(
         lambda q: M.clean_binary(q, post.bin_thresh, post.morph_kernel, 1, 1)
     ))(probs))
