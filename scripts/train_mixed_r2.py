@@ -13,7 +13,7 @@ from vickers_tpu.train.mixed import run_mixed_training
 
 cfg = TrainConfig(
     data="/root/reference/data",
-    epochs=400,
+    epochs=300,
     lr=1e-3,
     out="runs/unet_r34_mixed512_r2",
     ema_decay=0.999,
