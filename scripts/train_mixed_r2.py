@@ -14,7 +14,8 @@ from vickers_tpu.train.mixed import run_mixed_training
 cfg = TrainConfig(
     data="/root/reference/data",
     epochs=300,
-    lr=1e-3,
+    lr=3e-4,
+    encoder_weights="runs/unet_r34_512_r2/best.pth",
     out="runs/unet_r34_mixed512_r2",
     ema_decay=0.999,
     resume=True,

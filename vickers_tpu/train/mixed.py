@@ -65,6 +65,14 @@ def run_mixed_training(cfg: TrainConfig, crop_batches_per_epoch: int = 12,
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     model = build_model(cfg.encoder, dtype=dtype)
     params, stats = init_model(model, jax.random.PRNGKey(0), cfg.img_size)
+    if cfg.encoder_weights and cfg.encoder_weights not in ("imagenet", "none"):
+        # warm start (typically the letterbox-trained best.pth): mixed
+        # training then only needs to ADD native-scale competence instead of
+        # learning segmentation from scratch
+        from vickers_tpu.compat.convert import load_pth_params
+
+        params, stats = load_pth_params(cfg.encoder_weights)
+        log.info("mixed: warm start from %s", cfg.encoder_weights)
     tx = make_optimizer(cfg)
     state = create_train_state(model, params, stats, tx, cfg.ema_decay)
     # letterbox batches gather on device (no per-step H2D; see
