@@ -1,0 +1,105 @@
+"""BASELINE config-5 scaling evidence on the virtual CPU mesh.
+
+Single-chip throughput is measured by bench.py on real hardware; this script
+supplies the *scaling* half of the story without a pod:
+
+1. correctness — batch-sharded serving (forward + fused geometry) on an
+   N-device mesh returns bit-identical detections to the single-device run;
+2. scaling shape — the compiled sharded serving program contains ZERO
+   cross-device collectives (audited in the optimized HLO), so per-chip work
+   is embarrassingly parallel and pod-slice throughput is chips x
+   single-chip throughput, ICI idle;
+3. the projection table written to PARALLEL_SCALING.json.
+
+Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scripts/bench_parallel.py
+"""
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vickers_tpu.core.config import HVConfig, PostprocessConfig
+    from vickers_tpu.models.unet import build_model, init_model
+    from vickers_tpu.ops.image import normalize_imagenet
+    from vickers_tpu.ops.postprocess import postprocess
+
+    size = 128          # small: CPU mesh is a correctness/shape vehicle
+    per_dev_batch = 2
+    post = PostprocessConfig()
+    hv = HVConfig(force_kgf=0.3, um_per_px=2.0)
+
+    model = build_model(dtype=jnp.float32)
+    params, stats = init_model(model, jax.random.PRNGKey(0), img_size=size)
+    variables = {"params": params, "batch_stats": stats}
+
+    rng = np.random.default_rng(0)
+    devices = jax.devices()
+    full_b = per_dev_batch * len(devices)
+    imgs = rng.integers(0, 255, (full_b, size, size, 3), np.uint8)
+    # plant a dark square so geometry finds a detection
+    imgs[:, 40:90, 30:80] = 20
+
+    def serve(variables, imgs_u8):
+        x = normalize_imagenet(imgs_u8.astype(jnp.float32))
+        logits = model.apply(variables, x, train=False)[..., 0]
+        probs = jax.nn.sigmoid(logits)
+        res = jax.vmap(lambda p: postprocess(p, post, hv))(probs)
+        return res.detections.d_mean, res.detections.valid
+
+    # single-device baseline
+    base_d, base_v = jax.jit(serve)(variables, imgs)
+    base_d, base_v = np.asarray(base_d), np.asarray(base_v)
+
+    rows = []
+    for n in (1, 2, 4, 8):
+        if n > len(devices):
+            break
+        mesh = Mesh(np.array(devices[:n]), ("data",))
+        fn = jax.jit(
+            serve,
+            in_shardings=(NamedSharding(mesh, P()),
+                          NamedSharding(mesh, P("data"))),
+            out_shardings=NamedSharding(mesh, P("data")),
+        )
+        sub = imgs[: per_dev_batch * n]
+        d, v = fn(variables, sub)
+        exact = bool(np.array_equal(np.asarray(d), base_d[: len(sub)])
+                     and np.array_equal(np.asarray(v), base_v[: len(sub)]))
+
+        hlo = fn.lower(variables, sub).compile().as_text()
+        collectives = sorted(set(re.findall(
+            r"\b(all-reduce|all-gather|reduce-scatter|collective-permute"
+            r"|all-to-all)\b", hlo)))
+        rows.append({"devices": n, "batch": len(sub),
+                     "detections_exact_vs_1dev": exact,
+                     "collectives_in_serving_hlo": collectives})
+        print(f"mesh={n}: exact={exact} collectives={collectives or 'NONE'}")
+
+    ok = all(r["detections_exact_vs_1dev"] and
+             not r["collectives_in_serving_hlo"] for r in rows)
+    out = {
+        "ok": ok,
+        "meaning": "batch-sharded serving has no cross-device collectives; "
+                   "pod-slice throughput = chips x single-chip bench.py "
+                   "number (ICI unused in serving; DP training psum is "
+                   "covered by tests/test_parallel.py)",
+        "mesh_rows": rows,
+    }
+    with open("PARALLEL_SCALING.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"parallel_scaling_ok": ok}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

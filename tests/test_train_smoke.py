@@ -128,6 +128,24 @@ def test_resume_continues_training(tiny_data, tmp_path):
     assert on_disk == hist2
 
 
+def test_resume_across_ema_config_change(tiny_data, tmp_path):
+    """Resume must tolerate EMA being toggled between runs (round-2 advisor
+    finding: the strict from_bytes template raised on structure mismatch).
+    pre-EMA ckpt + --ema-decay -> EMA warm-starts from restored weights;
+    EMA ckpt + EMA off -> saved EMA ignored."""
+    import dataclasses
+
+    cfg = _cfg(tiny_data, tmp_path, epochs=2)        # no EMA
+    run(cfg)
+    cfg_on = dataclasses.replace(cfg, epochs=3, resume=True, ema_decay=0.9)
+    hist = run(cfg_on)
+    assert [h["epoch"] for h in hist] == [1, 2, 3]
+
+    cfg_off = dataclasses.replace(cfg, epochs=4, resume=True, ema_decay=0.0)
+    hist2 = run(cfg_off)
+    assert [h["epoch"] for h in hist2] == [1, 2, 3, 4]
+
+
 def test_ema_trains_validates_and_resumes(tiny_data, tmp_path):
     """EMA state rides in last.ckpt and survives resume; best.ckpt carries
     the averaged weights (they are what validation scored)."""

@@ -58,6 +58,33 @@ def _add_train(sub):
                    help="scale jitter range: scale in [1-s, 1+s]")
 
 
+def _add_ssl(sub):
+    p = sub.add_parser(
+        "ssl-pretrain",
+        help="self-supervised encoder pre-training on native-res crops "
+             "(writes <out>/ssl_warmstart.pth for train --encoder-weights)")
+    p.add_argument("--data", default="data")
+    p.add_argument("--out", default="runs/ssl")
+    p.add_argument("--variant", choices=["mask", "noise"], default="mask")
+    p.add_argument("--steps", type=int, default=4000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--tile", type=int, default=512)
+    p.add_argument("--mask-block", type=int, default=32)
+    p.add_argument("--mask-ratio", type=float, default=0.6)
+    p.add_argument("--seed", type=int, default=42)
+
+
+def _cmd_ssl(args) -> int:
+    from vickers_tpu.train.ssl import run_ssl_pretrain
+
+    run_ssl_pretrain(args.data, args.out, variant=args.variant,
+                     steps=args.steps, batch=args.batch, lr=args.lr,
+                     tile=args.tile, block=args.mask_block,
+                     ratio=args.mask_ratio, seed=args.seed)
+    return 0
+
+
 def _add_infer(sub):
     p = sub.add_parser("infer", help="run inference + geometry on images")
     p.add_argument("images", nargs="+")
@@ -278,14 +305,15 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="vickers-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
     _add_train(sub)
+    _add_ssl(sub)
     _add_infer(sub)
     _add_plot(sub)
     sub.add_parser("bench", help="run the throughput benchmark")
     sub.add_parser("devices", help="report the device topology")
     args = ap.parse_args(argv)
     return {
-        "train": _cmd_train, "infer": _cmd_infer, "plot": _cmd_plot,
-        "bench": _cmd_bench, "devices": _cmd_devices,
+        "train": _cmd_train, "ssl-pretrain": _cmd_ssl, "infer": _cmd_infer,
+        "plot": _cmd_plot, "bench": _cmd_bench, "devices": _cmd_devices,
     }[args.cmd](args)
 
 

@@ -10,10 +10,10 @@ random augmentations (ops.augment) and normalization run on-TPU inside the
 train step.
 
 Decode parallelism comes from a thread pool (cv2.imread releases the GIL in
-its C++ core).  ``prefetch_to_device`` wraps ``epoch_batches`` with a
-double-buffered ``jax.device_put`` pipeline: while the jitted step consumes
-batch n, batch n+1's host slicing + H2D transfer are already in flight
-(JAX transfers are asynchronous), so the device never idles on input.
+its C++ core).  Training does not stream batches at all: the cached arrays
+are device_put once and the jitted steps gather each batch on device from a
+(B,) index vector (``train.engine.make_indexed_train_step``), so there is no
+per-step host->device input transfer to hide.
 """
 
 from __future__ import annotations
@@ -143,36 +143,3 @@ class CachedDataset:
             batch_size, shuffle, rng, drop_remainder, pad_final
         ):
             yield self.images[idx], self.masks[idx], w, stems
-
-
-def prefetch_to_device(batches, depth: int = 2):
-    """Double-buffered device prefetch over an ``epoch_batches`` iterator.
-
-    Starts the (async) ``jax.device_put`` of up to ``depth`` upcoming batches
-    so host slicing and H2D transfer overlap the consumer's device step.
-    Stems stay host-side untouched."""
-    import collections
-
-    import jax
-
-    # The axon TPU relay pins host staging buffers for explicitly
-    # device_put arrays (measured ~120 MB leaked per epoch over a long
-    # training run); on that platform fall back to handing the jitted step
-    # plain numpy (implicit transfer, which does not leak).  CPU/standard
-    # TPU backends get the real double-buffered prefetch.
-    explicit = jax.default_backend() != "axon"
-    buf = collections.deque()
-
-    def put(item):
-        if not explicit:
-            return item
-        imgs, masks, w, stems = item
-        return (jax.device_put(imgs), jax.device_put(masks),
-                jax.device_put(w), stems)
-
-    for item in batches:
-        buf.append(put(item))
-        if len(buf) >= depth:
-            yield buf.popleft()
-    while buf:
-        yield buf.popleft()

@@ -245,7 +245,10 @@ class InferenceEngine:
         self.qparams = quantize(folded, absmax)
 
     def _batch_fn_quant(self, size: int, post: PostprocessConfig, hv: HVConfig,
-                        fused: bool = True):
+                        fused: bool = False):
+        # fused=False default: the XLA int8 requant path is the measured-best
+        # serving config on-chip (BENCH.md stage table); the Pallas fused
+        # path stays opt-in until it wins its go/no-go.
         from vickers_tpu.quant import quant_forward
         from vickers_tpu.quant.model import quant_forward_fused
 
@@ -291,6 +294,16 @@ class InferenceEngine:
         prob, res = self._detect_fn(geom, self.cfg.post, self.cfg.hv)(
             self._variables(), rgb
         )
+        if bool(res.overflow):
+            # run-CC row-run table overflowed on this image (pathological
+            # run count per row) — redo with the exact pixel labeler so no
+            # detection is silently dropped (ops.components exactness bound)
+            import dataclasses
+
+            exact = dataclasses.replace(self.cfg.post, cc_impl="pixel")
+            prob, res = self._detect_fn(geom, exact, self.cfg.hv)(
+                self._variables(), rgb
+            )
         return np.asarray(prob), _rescale_detections(res.detections, geom, self.cfg.hv)
 
     def detect_batch(self, imgs_rgb_u8: np.ndarray, quantized: bool = False):

@@ -45,6 +45,11 @@ class Detections(NamedTuple):
 class PostprocessResult(NamedTuple):
     clean: jax.Array        # (H, W) float32 0/1 — reference's clean_bin
     detections: Detections
+    # () bool — run-CC row-run table overflowed (some row had more than
+    # cfg.max_runs_per_row runs, results may have dropped components);
+    # always False on the exact pixel path.  InferenceEngine.detect
+    # auto-reroutes flagged images through the pixel labeler.
+    overflow: jax.Array
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "hv"))
@@ -72,6 +77,7 @@ def postprocess(
         areas, valid, clean = rc.areas, rc.valid, rc.clean
         ext = G.RowExtents(xmin=rc.xmin, xmax=rc.xmax, any_row=rc.any_row)
         fit_ext = None   # Minkowski outset replaces the dilation pass
+        overflow = rc.overflow
     else:
         comps: Components = extract_components(
             mask, min_area, max_components=cfg.max_components,
@@ -80,6 +86,7 @@ def postprocess(
         areas, valid, clean = comps.areas, comps.valid, comps.clean
         ext = G.row_extents(comps.masks)
         fit_ext = None
+        overflow = jnp.bool_(False)
         if cfg.fit == FitMode.QUAD and cfg.fit_outset_px > 0:
             # fit-only dilation (ui_infer_quadrilateral.py:478-481): enlarges
             # the boundary used for fitting without touching area stats.
@@ -119,4 +126,4 @@ def postprocess(
         hv=jnp.where(v, hv_vals, 0.0),
         quality=jnp.where(v, quality, 0.0),
     )
-    return PostprocessResult(clean=clean, detections=det)
+    return PostprocessResult(clean=clean, detections=det, overflow=overflow)

@@ -238,17 +238,7 @@ def quant_forward_fused_s2d(qp: QParams, x_norm: jax.Array,
     zeros) is bit-identical integer arithmetic at several times the MXU
     utilization.  Relayouts (space_to_depth2 / depth_to_space2 / the free
     "up2 == channel-tile" identity) are 1-byte int8 passes."""
-    from vickers_tpu.ops.pallas_conv import (conv3x3_int8, depth_to_space2,
-                                             space_to_depth2)
-    from vickers_tpu.ops.pallas_conv import s2d_conv_weights
-
-    def xla_conv(name, x, stride, pad, relu):
-        q = qp.convs[name]
-        x_q = x if x.dtype == jnp.int8 else _requant(x, q.act_scale)
-        y = _conv(x_q, q.w_int8, stride, pad)
-        y = y.astype(jnp.float32) * (q.act_scale * q.w_scale)[None, None, None, :] \
-            + q.bias
-        return (jax.nn.relu(y) if relu else y).astype(jnp.bfloat16)
+    from vickers_tpu.ops.pallas_conv import conv3x3_int8, s2d_conv_weights
 
     def pconv(name, x, stride, relu, out_name=None, s2d_w=False):
         """Pallas conv; ``out_name`` chains int8 at that conv's act scale."""
@@ -270,6 +260,54 @@ def quant_forward_fused_s2d(qp: QParams, x_norm: jax.Array,
         return conv3x3_int8(x_q, w, scale, bias, jnp.float32(1.0),
                             stride=stride, relu=relu,
                             out_dtype_name="bfloat16", interpret=interpret)
+
+    return _s2d_topology(qp, x_norm, pconv)
+
+
+def quant_forward_s2d(qp: QParams, x_norm: jax.Array) -> jax.Array:
+    """The XLA int8 requant path with the same s2d layer1/decoder-tail
+    restructure as the fused variant — no Pallas anywhere.
+
+    Rationale (round 3): XLA's own int8 convs beat the first-cut Pallas
+    kernels on-chip (BENCH.md), but they still crawl on the 16/32-channel
+    high-resolution tail where <=32 of 128 MXU lanes are live.  The s2d
+    weight rewrite fixes the *utilization* problem at the graph level and
+    lets XLA keep doing the scheduling it already wins at.  Bit-identical
+    integer accumulation (structural-zero weights), same calibration."""
+    from vickers_tpu.ops.pallas_conv import s2d_conv_weights
+
+    def xconv(name, x, stride, relu, out_name=None, s2d_w=False):
+        q = qp.convs[name]
+        x_q = x if x.dtype == jnp.int8 else _requant(x, q.act_scale)
+        w = q.w_int8
+        scale = q.act_scale * q.w_scale
+        bias = q.bias
+        if s2d_w:
+            w = s2d_conv_weights(w)
+            scale = jnp.tile(scale, 4)
+            bias = jnp.tile(bias, 4)
+        y = _conv(x_q, w, stride, 1)
+        y = y.astype(jnp.float32) * scale[None, None, None, :] + bias
+        y = jax.nn.relu(y) if relu else y
+        if out_name is not None:     # chain: emit int8 at the next act scale
+            return _requant(y, qp.convs[out_name].act_scale)
+        return y.astype(jnp.bfloat16)
+
+    return _s2d_topology(qp, x_norm, xconv)
+
+
+def _s2d_topology(qp: QParams, x_norm: jax.Array, pconv) -> jax.Array:
+    """Shared s2d-domain network topology; ``pconv(name, x, stride, relu,
+    out_name=None, s2d_w=False)`` performs one 3x3 conv (+epilogue)."""
+    from vickers_tpu.ops.pallas_conv import depth_to_space2, space_to_depth2
+
+    def xla_conv(name, x, stride, pad, relu):
+        q = qp.convs[name]
+        x_q = x if x.dtype == jnp.int8 else _requant(x, q.act_scale)
+        y = _conv(x_q, q.w_int8, stride, pad)
+        y = y.astype(jnp.float32) * (q.act_scale * q.w_scale)[None, None, None, :] \
+            + q.bias
+        return (jax.nn.relu(y) if relu else y).astype(jnp.bfloat16)
 
     # ---- encoder ----------------------------------------------------------
     f1 = xla_conv("enc.conv1", x_norm, 2, 3, True)

@@ -50,6 +50,37 @@ def load_native(path: str | Path, target: Optional[Dict[str, Any]] = None):
     return serialization.msgpack_restore(data)
 
 
+def load_resume_tree(path: str | Path, state) -> Dict[str, Any]:
+    """Restore a last.ckpt for resume, tolerant of EMA config changes.
+
+    ``from_bytes`` requires the template structure to exactly match the
+    saved bytes, so resuming a pre-EMA checkpoint with ema_decay set (or
+    vice versa) would raise.  Restore without a template first, then map
+    each present key onto the live state's structure:
+
+    - ckpt has no 'ema' but the run wants EMA -> EMA restarts from the
+      restored live weights (the standard EMA warm start);
+    - ckpt has 'ema' but the run disabled it -> the saved EMA is ignored.
+    """
+    raw = load_native(path)
+    out = {
+        "params": serialization.from_state_dict(state.params, raw["params"]),
+        "batch_stats": serialization.from_state_dict(
+            state.batch_stats, raw["batch_stats"]),
+        "opt_state": serialization.from_state_dict(
+            state.opt_state, raw["opt_state"]),
+        "epoch": int(raw["epoch"]),
+        "best_dice": float(raw["best_dice"]),
+    }
+    if state.ema is not None:
+        if "ema" in raw:
+            out["ema"] = serialization.from_state_dict(state.ema, raw["ema"])
+        else:
+            out["ema"] = {"params": out["params"],
+                          "batch_stats": out["batch_stats"]}
+    return out
+
+
 def export_pth(path: str | Path, params, batch_stats) -> None:
     """Write weights in the reference's torch state-dict format."""
     import torch

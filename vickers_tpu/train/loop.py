@@ -121,13 +121,8 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
     # true crash-safe resume (no reference equivalent, SURVEY §5): restore
     # params, optimizer state, epoch counter, best metric and history
     if cfg.resume and (out_dir / "last.ckpt").exists():
-        template = {
-            "params": state.params, "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state, "epoch": 0, "best_dice": 0.0,
-        }
-        if state.ema is not None:
-            template["ema"] = state.ema
-        tree = ckpt.load_native(out_dir / "last.ckpt", template)
+        # tolerant of EMA on/off changes between runs (see load_resume_tree)
+        tree = ckpt.load_resume_tree(out_dir / "last.ckpt", state)
         state = state.replace(
             params=tree["params"], batch_stats=tree["batch_stats"],
             opt_state=tree["opt_state"], ema=tree.get("ema", state.ema))

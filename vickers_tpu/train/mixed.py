@@ -92,12 +92,8 @@ def run_mixed_training(cfg: TrainConfig, crop_batches_per_epoch: int = 12,
     start_ep, best_dice = 1, -1.0
     history: List[Dict] = []
     if cfg.resume and (out_dir / "last.ckpt").exists():
-        template = {"params": state.params, "batch_stats": state.batch_stats,
-                    "opt_state": state.opt_state, "epoch": 0,
-                    "best_dice": 0.0}
-        if state.ema is not None:
-            template["ema"] = state.ema
-        tree = ckpt.load_native(out_dir / "last.ckpt", template)
+        # tolerant of EMA on/off changes between runs (see load_resume_tree)
+        tree = ckpt.load_resume_tree(out_dir / "last.ckpt", state)
         state = state.replace(
             params=tree["params"], batch_stats=tree["batch_stats"],
             opt_state=tree["opt_state"], ema=tree.get("ema", state.ema))
@@ -151,21 +147,22 @@ def run_mixed_training(cfg: TrainConfig, crop_batches_per_epoch: int = 12,
 
         eval_state = state if state.ema is None else state.replace(
             params=state.ema["params"], batch_stats=state.ema["batch_stats"])
+        # sample-weighted means (matches loop.py) so the padded final batch
+        # is not over-weighted and best-checkpoint selection is comparable
+        # to the letterbox loop's headline Dice
         ds_sum = iou_sum = loss_sum = n_sum = 0.0
-        nb = 0
         for idx, w, _ in val_ds.epoch_index_batches(cfg.batch, shuffle=False,
                                                     pad_final=True):
             out = eval_step(eval_state, vdev_imgs, vdev_masks, idx, w)
-            n = float(out.n)
-            ds_sum += float(out.dice_sum) / max(n, 1.0)
-            iou_sum += float(out.iou_sum) / max(n, 1.0)
+            ds_sum += float(out.dice_sum)
+            iou_sum += float(out.iou_sum)
             loss_sum += float(out.loss_sum)
-            n_sum += n
-            nb += 1
-        val_dice, val_iou = ds_sum / nb, iou_sum / nb
+            n_sum += float(out.n)
+        n_sum = max(n_sum, 1.0)
+        val_dice, val_iou = ds_sum / n_sum, iou_sum / n_sum
 
         rec = {"epoch": ep, "train_loss": train_loss,
-               "val_loss": loss_sum / max(n_sum, 1.0), "val_dice": val_dice,
+               "val_loss": loss_sum / n_sum, "val_dice": val_dice,
                "val_iou": val_iou, "lr": float(lr_of(jnp.asarray(ep))),
                "time": round(time.time() - t0, 2)}
         history.append(rec)
