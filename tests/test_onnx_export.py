@@ -1,0 +1,63 @@
+"""unet.onnx export round-trip (compat.onnx_export <-> compat.onnx_ingest).
+
+No onnx/onnxruntime in this environment, so validation is: the emitted wire
+format parses with our independent reader, initializer names/shapes match
+the smp state-dict contract, and the re-ingested weights reproduce the
+source model's forward exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from vickers_tpu.models.unet import build_model, init_model
+
+    model = build_model(dtype=jnp.float32)
+    params, stats = init_model(model, jax.random.PRNGKey(3), img_size=64)
+    return model, params, stats
+
+
+def test_export_roundtrip_forward_parity(tiny_model, tmp_path):
+    from vickers_tpu.compat.onnx_export import export_onnx
+    from vickers_tpu.compat.onnx_ingest import load_onnx_params
+
+    model, params, stats = tiny_model
+    p = tmp_path / "unet.onnx"
+    export_onnx(p, params, stats, img_size=64)
+    assert p.exists() and p.stat().st_size > 1_000_000  # 24M params ~ 97MB f32
+
+    params2, stats2 = load_onnx_params(str(p))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 64, 3)),
+                    jnp.float32)
+    a = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+    b = model.apply({"params": params2, "batch_stats": stats2}, x, train=False)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+
+
+def test_export_initializer_contract(tiny_model, tmp_path):
+    """Initializer names = smp state-dict keys (what the reference GUIs'
+    preferred artifact carries; ui_infer_rectangle.py:474-487)."""
+    from vickers_tpu.compat.onnx_export import export_onnx
+    from vickers_tpu.compat.onnx_ingest import read_onnx_initializers
+
+    _, params, stats = tiny_model
+    p = tmp_path / "unet.onnx"
+    export_onnx(p, params, stats, img_size=64)
+    init = read_onnx_initializers(str(p))
+    for key, shape in [
+        ("encoder.conv1.weight", (64, 3, 7, 7)),
+        ("encoder.layer1.0.conv1.weight", (64, 64, 3, 3)),
+        ("encoder.layer2.0.downsample.0.weight", (128, 64, 1, 1)),
+        ("decoder.blocks.0.conv1.0.weight", (256, 768, 3, 3)),
+        ("decoder.blocks.4.conv2.1.running_var", (16,)),
+        ("segmentation_head.0.weight", (1, 16, 3, 3)),
+        ("segmentation_head.0.bias", (1,)),
+        ("up2_scales", (4,)),
+    ]:
+        assert key in init, key
+        assert tuple(init[key].shape) == shape, (key, init[key].shape)

@@ -89,7 +89,12 @@ class PostprocessConfig:
     #   "pixel" — per-pixel segmented doubling scans (exact for arbitrary
     #             inputs; the round-1 implementation)
     cc_impl: str = "runs"
-    max_runs_per_row: int = 64
+    # Run-table bound: work scales ~linearly with it (measured 28.6 / 43 /
+    # 90 ms per batch-64 at 16/32/64).  16 covers every post-morphology
+    # mask; inputs that exceed it raise PostprocessResult.overflow and
+    # InferenceEngine.detect reroutes them through the exact pixel labeler,
+    # so a tight bound is safe (round-3 change; was 64 with silent drops).
+    max_runs_per_row: int = 16
     # Angle scan resolution for the min-area-rect search.
     rect_coarse_angles: int = 192
     rect_refine_angles: int = 64

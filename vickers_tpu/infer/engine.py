@@ -119,7 +119,18 @@ class InferenceEngine:
             self.backend = "params"
             self._info = "in-memory params"
         elif model_dir is not None:
-            self._load_from_dir(Path(model_dir))
+            p = Path(model_dir)
+            if p.is_file():
+                # a specific checkpoint file (e.g. a mixed run's final.ckpt,
+                # which the best-by-letterbox-Dice selection would never pick)
+                from vickers_tpu.train import checkpoint as ckpt
+
+                tree = ckpt.load_native(p)
+                self.params, self.batch_stats = tree["params"], tree["batch_stats"]
+                self.backend = "native"
+                self._info = f"native:{p}"
+            else:
+                self._load_from_dir(p)
         else:
             self.params = self.batch_stats = None
 

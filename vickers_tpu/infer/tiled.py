@@ -129,6 +129,13 @@ class TiledEngine:
         h, w = img_bgr.shape[:2]
         prob = self.prob(img_bgr)
         res = postprocess(jnp.asarray(prob), self.engine.cfg.post, self.engine.cfg.hv)
+        if bool(res.overflow):
+            # native-res masks can exceed the run-table bound more easily
+            # than 512-letterbox ones; redo exactly rather than drop runs
+            import dataclasses
+
+            exact = dataclasses.replace(self.engine.cfg.post, cc_impl="pixel")
+            res = postprocess(jnp.asarray(prob), exact, self.engine.cfg.hv)
         ident = LetterboxGeometry(
             src_h=h, src_w=w, size=max(h, w), scale=1.0, new_h=h, new_w=w,
             pad_top=0, pad_bottom=0, pad_left=0, pad_right=0,

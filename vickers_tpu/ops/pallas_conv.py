@@ -75,67 +75,95 @@ def _epilogue(acc_f32, scale, bias, relu: bool, out_dtype, out_scale_inv):
     return y.astype(out_dtype)
 
 
-def _make_kernel(taps, th: int, w_out: int, ci: int, co: int,
-                 relu: bool, out_dtype, n_wc: int, wc: int):
-    """Kernel body: DMA the input slab, accumulate tap matmuls per W-chunk,
-    apply the epilogue, write the output block."""
+def _make_kernel(taps, th: int, n_th: int, w_out: int, wp_out: int,
+                 ci: int, co: int, relu: bool, out_dtype, n_wc: int, wc: int):
+    """Kernel body with a software pipeline over row tiles (round 3).
 
-    def kernel(x_hbm, w_ref, scale_ref, bias_ref, osc_ref, out_ref,
-               xbuf, acc, sem):
+    One program per batch image; the row-tile loop lives INSIDE the kernel
+    with double-buffered input slabs AND output tiles, so the HBM DMA of
+    tile r+1 (and the write-back of tile r-1) overlap tile r's nine tap
+    matmuls — the round-2 version issued one grid program per tile with a
+    serial ``copy.start(); copy.wait()``, leaving the MXU idle for the
+    whole slab transfer."""
+
+    def kernel(x_hbm, w_ref, scale_ref, bias_ref, osc_ref, out_hbm,
+               xbuf, ybuf, acc, sin, sout):
         b = pl.program_id(0)
-        i = pl.program_id(1)
-        rows = xbuf.shape[0]
-        copy = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(i * th, rows), :, :], xbuf, sem)
-        copy.start()
-        copy.wait()
 
-        for c_i in range(n_wc):
-            w0 = c_i * wc
-            first = True
-            for t, (oy, ox, grp, dy, dx) in enumerate(taps):
-                # full-channel patch: Mosaic only allows lane slices in
-                # 128-multiples, so channel-group selection lives in the
-                # (zero-padded) weight rows instead of a patch slice
-                patch = xbuf[pl.ds(oy, th), pl.ds(w0 + ox, wc), :]
-                wk = w_ref[pl.ds(t * ci, ci), :]
-                prod = jax.lax.dot_general(
-                    patch.reshape(th * wc, ci), wk,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
+        def in_dma(slot, r):
+            return pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(r * th, th + 2), :, :],
+                xbuf.at[slot], sin.at[slot])
+
+        def out_dma(slot, r):
+            return pltpu.make_async_copy(
+                ybuf.at[slot],
+                out_hbm.at[b, pl.ds(r * th, th), :, :], sout.at[slot])
+
+        in_dma(0, 0).start()
+        for r in range(n_th):                    # static unroll
+            cur = r % 2
+            if r + 1 < n_th:
+                in_dma((r + 1) % 2, r + 1).start()
+            in_dma(cur, r).wait()
+            if r >= 2:                           # ybuf slot free again?
+                out_dma(cur, r - 2).wait()
+            for c_i in range(n_wc):
+                w0 = c_i * wc
+                first = True
+                for t, (oy, ox, grp, dy, dx) in enumerate(taps):
+                    # full-channel patch: Mosaic only allows lane slices in
+                    # 128-multiples, so channel-group selection lives in the
+                    # (zero-padded) weight rows instead of a patch slice
+                    patch = xbuf[cur, pl.ds(oy, th), pl.ds(w0 + ox, wc), :]
+                    wk = w_ref[pl.ds(t * ci, ci), :]
+                    prod = jax.lax.dot_general(
+                        patch.reshape(th * wc, ci), wk,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    if first:
+                        acc[:] = prod
+                        first = False
+                    else:
+                        acc[:] = acc[:] + prod
+                y = _epilogue(
+                    acc[:].astype(jnp.float32).reshape(th, wc, co),
+                    scale_ref[:], bias_ref[:], relu, out_dtype, osc_ref[0, 0],
                 )
-                if first:
-                    acc[:] = prod
-                    first = False
-                else:
-                    acc[:] = acc[:] + prod
-            y = _epilogue(
-                acc[:].astype(jnp.float32).reshape(th, wc, co),
-                scale_ref[:], bias_ref[:], relu, out_dtype, osc_ref[0, 0],
-            )
-            out_ref[0, :, pl.ds(w0, wc), :] = y
+                ybuf[cur, :, pl.ds(w0, wc), :] = y
+            out_dma(cur, r).start()
+        for r in range(max(0, n_th - 2), n_th):
+            out_dma(r % 2, r).wait()
 
     return kernel
 
 
-def _pick_tiles(h_out: int, w_out: int, wp: int, ci_g: int, co: int):
-    """Choose (row-tile, w-chunk) so the slab + accumulator fit comfortably
-    in VMEM (~6 MB budget) while keeping the program count low."""
-    vmem = 6 * 1024 * 1024
+def _pick_tiles(h_out: int, w_out: int, wp: int, wp_out: int, ci_g: int,
+                co: int, out_bytes: int):
+    """Choose (row-tile, w-chunk) so the double-buffered slabs + output
+    tiles + accumulator fit in ~11 MB of VMEM (16 MB/core total) while
+    keeping the in-kernel unrolled tile count modest."""
+    vmem = 11 * 1024 * 1024
     best = None
-    for th in (128, 64, 32, 16, 8, 4):
+    for th in (64, 32, 16, 8, 4):
         if h_out % th and th != h_out:
             continue
         th_eff = min(th, h_out)
-        slab = (th_eff + 2) * wp * ci_g
+        n_th = h_out // th_eff
+        if n_th > 32:
+            continue
+        slab2 = 2 * (th_eff + 2) * wp * ci_g
+        ybuf2 = 2 * th_eff * wp_out * co * out_bytes
         for wc in (w_out, 256, 128, 64):
             if wc > w_out or (w_out % wc):
                 continue
             acc = th_eff * wc * co * 4
-            out = th_eff * w_out * co * 2
-            if slab + acc + out < vmem:
-                programs = (h_out // th_eff)
-                cand = (programs, -th_eff, wc)
+            if slab2 + ybuf2 + acc < vmem:
+                # 4-16 tiles give the pipeline something to overlap without
+                # blowing up the unrolled kernel body
+                penalty = 0 if 4 <= n_th <= 16 else 1
+                cand = (penalty, n_th, -th_eff, wc)
                 if best is None or cand < best[0]:
                     best = (cand, th_eff, wc)
                 break
@@ -207,13 +235,16 @@ def conv3x3_int8(
     scale = jnp.pad(scale, (0, co_p - co))
     bias = jnp.pad(bias, (0, co_p - co))
 
-    th, wc = _pick_tiles(h_out, w_out, wp, ci_gp, co_p)
+    # output width padded to a DMA-aligned multiple; sliced off at the end
+    out_bytes = 1 if out_dtype == jnp.int8 else (2 if out_dtype == jnp.bfloat16 else 4)
+    wp_out = -(-w_out // 32) * 32
+    th, wc = _pick_tiles(h_out, w_out, wp, wp_out, ci_gp, co_p, out_bytes)
+    n_th = h_out // th
     n_wc = w_out // wc
-    kernel = _make_kernel(taps, th, w_out, ci_gp, co_p, relu, out_dtype,
-                          n_wc, wc)
+    kernel = _make_kernel(taps, th, n_th, w_out, wp_out, ci_gp, co_p, relu,
+                          out_dtype, n_wc, wc)
 
-    # pad W+2 up so strided W-chunks stay in bounds: xp width = w_out + 2
-    grid = (b, h_out // th)
+    grid = (b,)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -224,19 +255,19 @@ def conv3x3_int8(
             pl.BlockSpec(memory_space=pltpu.VMEM),          # bias (1, Co)
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # out_scale_inv
         ],
-        out_specs=pl.BlockSpec(
-            (1, th, w_out, co_p), lambda bb, ii: (bb, ii, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, co_p), out_dtype),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),        # HBM; DMA'd out
+        out_shape=jax.ShapeDtypeStruct((b, h_out, wp_out, co_p), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, wp, ci_gp), jnp.int8),
+            pltpu.VMEM((2, th + 2, wp, ci_gp), jnp.int8),
+            pltpu.VMEM((2, th, wp_out, co_p), out_dtype),
             pltpu.VMEM((th * wc, co_p), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, wf, scale.reshape(1, co_p), bias.reshape(1, co_p),
       out_scale_inv.reshape(1, 1))
-    return out[..., :co]
+    return out[:, :, :w_out, :co]
 
 
 def depth_to_space2(x: jax.Array) -> jax.Array:

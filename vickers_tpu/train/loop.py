@@ -274,4 +274,17 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
     except Exception as e:  # same tolerance as the reference's ONNX export
         log.warning("StableHLO export failed: %s", e)
 
+    # ---- unet.onnx: the reference GUIs' preferred artifact ---------------
+    # (train.py:702-713 equivalent; ui_infer_rectangle.py:474-487 load path)
+    try:
+        from vickers_tpu.compat.onnx_export import export_onnx
+
+        final = state if state.ema is None else state.replace(
+            params=state.ema["params"], batch_stats=state.ema["batch_stats"])
+        export_onnx(out_dir / "unet.onnx", final.params, final.batch_stats,
+                    img_size=cfg.img_size)
+        log.info("exported ONNX to %s", out_dir / "unet.onnx")
+    except Exception as e:
+        log.warning("ONNX export failed: %s", e)
+
     return history

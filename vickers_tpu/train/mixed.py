@@ -187,4 +187,15 @@ def run_mixed_training(cfg: TrainConfig, crop_batches_per_epoch: int = 12,
             (out_dir / "history.json").write_text(json.dumps(history, indent=2))
 
     (out_dir / "history.json").write_text(json.dumps(history, indent=2))
+    # The letterbox val Dice that picks best.ckpt does not measure native-
+    # scale competence (a warm start can hold "best" forever); tiled
+    # inference wants the fully-trained weights, so always save the final
+    # (EMA) state as final.ckpt/final.pth for scripts/eval_tiled.py.
+    final_state = state if state.ema is None else state.replace(
+        params=state.ema["params"], batch_stats=state.ema["batch_stats"])
+    ckpt.save_native(out_dir / "final.ckpt", {
+        "params": final_state.params,
+        "batch_stats": final_state.batch_stats})
+    ckpt.export_pth(out_dir / "final.pth", final_state.params,
+                    final_state.batch_stats)
     return history
