@@ -392,26 +392,33 @@ def extract_components_runs(
     labels = _run_fixpoint(x0, x1, init_labels, run_valid, max_sweeps,
                            block=block)
 
-    # ---- exact areas by label: sort the tiny run table, segment-sum -------
-    run_area = jnp.where(run_valid, x1 - x0 + 1, 0)
-    flat_l = labels.reshape(-1)
-    flat_a = run_area.reshape(-1).astype(jnp.int32)
-    sl, sa = jax.lax.sort((flat_l, flat_a), num_keys=1)
-    csum = jnp.cumsum(sa)
-    n = sl.shape[0]
-    is_end = jnp.concatenate([sl[1:] != sl[:-1], jnp.ones((1,), bool)])
-    is_start = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
-    pos = jnp.arange(n, dtype=jnp.int32)
-    start_pos = jax.lax.cummax(jnp.where(is_start, pos, -1))
-    base = jnp.where(start_pos > 0, jnp.take(csum, jnp.maximum(start_pos - 1, 0)), 0)
-    area_at_end = jnp.where(is_end & (sl >= 0), csum - base, 0)
+    # ---- exact areas by label, sort-free (round 3) ------------------------
+    # The fixpoint labels a component with the max init label over its runs,
+    # so exactly ONE run per component keeps its own init label — the root.
+    # Compact root ids into a fixed candidate table with a one-hot ordinal
+    # (cumsum) instead of the former per-image 2-key lax.sort + cumsum +
+    # gather chain, then aggregate areas with a (H, R, C) masked reduce.
+    max_cands = max(64, 4 * max_components)
+    run_area = jnp.where(run_valid, x1 - x0 + 1, 0).astype(jnp.int32)
+    roots = run_valid & (labels == init_labels)                  # (H, R)
+    ordinal = jnp.cumsum(roots.reshape(-1).astype(jnp.int32)).reshape(
+        roots.shape) - 1                                         # (H, R)
+    n_roots = jnp.sum(roots.astype(jnp.int32))
+    cands = jnp.arange(max_cands, dtype=jnp.int32)
+    onehot = roots[:, :, None] & (ordinal[:, :, None] == cands[None, None, :])
+    cand_ids = jnp.max(jnp.where(onehot, labels[:, :, None], -1), axis=(0, 1))
+
+    match = (labels[:, :, None] == cand_ids[None, None, :]) & (
+        cand_ids[None, None, :] >= 0)                            # (H, R, C)
+    cand_areas = jnp.sum(jnp.where(match, run_area[:, :, None], 0),
+                         axis=(0, 1))                            # (C,)
 
     def take_next(areas, _):
         i = jnp.argmax(areas)
-        return areas.at[i].set(-1), (areas[i], sl[i])
+        return areas.at[i].set(-1), (areas[i], cand_ids[i])
 
     _, (top_areas, top_ids) = jax.lax.scan(
-        take_next, area_at_end, None, length=max_components)
+        take_next, cand_areas, None, length=max_components)
     valid = top_areas >= jnp.asarray(min_area, jnp.int32)
     ids = jnp.where(valid, top_ids.astype(jnp.int32), -1)
 
@@ -454,5 +461,9 @@ def extract_components_runs(
         xmin=xmin,
         xmax=xmax,
         any_row=any_row,
-        overflow=jnp.any(starts_cum[:, -1] > max_runs),
+        # overflow: a row exceeded the run-table bound (excess runs dropped)
+        # OR more components than the candidate table holds — both mean
+        # "results may be inexact, reroute through the pixel labeler"
+        overflow=jnp.any(starts_cum[:, -1] > max_runs)
+        | (n_roots > max_cands),
     )
