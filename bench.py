@@ -34,7 +34,8 @@ from pathlib import Path
 
 import numpy as np
 
-_CKPTS = ("runs/unet_r34_512_r2/best.ckpt", "runs/unet_r34_512/best.ckpt")
+_CKPTS = ("runs/unet_r34_512_r3ssl/best.ckpt",
+          "runs/unet_r34_512_r2/best.ckpt", "runs/unet_r34_512/best.ckpt")
 _IMG_DIR = "/root/reference/data/images"
 
 

@@ -319,8 +319,14 @@ class InferenceEngine:
 
     def detect_batch(self, imgs_rgb_u8: np.ndarray, quantized: bool = False):
         """Serving path: (B, S, S, 3) uint8 RGB already letterboxed ->
-        (probs (B, S, S), device Detections with leading batch axis).
-        ``quantized=True`` requires a prior ``enable_quant`` call."""
+        (probs (B, S, S), device PostprocessResult with leading batch axis).
+        ``quantized=True`` requires a prior ``enable_quant`` call.
+
+        The result's ``overflow`` field is a (B,) bool: True marks images
+        whose run-table bound was exceeded (possible dropped detections).
+        This hot path stays sync-free; callers wanting exactness on flagged
+        images re-run those through ``detect`` (which auto-reroutes to the
+        exact pixel labeler)."""
         if quantized:
             if getattr(self, "qparams", None) is None:
                 raise RuntimeError("call enable_quant(calib_images) first")
