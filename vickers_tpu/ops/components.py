@@ -222,28 +222,67 @@ class RunComponents(NamedTuple):
     overflow: jax.Array
 
 
-def _row_run_tables(fg: jax.Array, max_runs: int):
-    """Compress each row's foreground runs into (H, R) x0/x1 tables.
+def _positions_of_kth(flags: jax.Array, max_runs: int) -> jax.Array:
+    """(H, W) bool -> (H, R) int32: x-position of the (k+1)-th True per row
+    (W for rows with fewer than k+1 flags).
 
-    x0[r, k] = #{x : starts_cum[r, x] <= k} (starts_cum = inclusive cumsum of
-    run-start indicators) — a cumulative histogram, i.e. pure compares and
-    reductions; no sort, no gather, no scatter."""
+    Two-level search instead of the round-2 (H, W, R) cumulative histogram:
+    rows split into 32-wide chunks; finding the chunk that holds ordinal k
+    is an (H, C, R) compare on the tiny per-chunk cumulative counts, the
+    chunk's 32-bit occupancy/prefix block is extracted with a one-hot
+    einsum (an MXU contraction over C — effectively free), and the final
+    in-chunk match is an (H, R, 32) compare.  VPU element work drops from
+    H*W*R to ~H*(W + C*R + 32*R): ~6x at W=512, R=16."""
+    h, w = flags.shape
+    c = 32
+    pad = (-w) % c
+    if pad:
+        flags = jnp.pad(flags, ((0, 0), (0, pad)), constant_values=False)
+    nc = flags.shape[1] // c
+    blocks = flags.reshape(h, nc, c)
+    prefix = jnp.cumsum(blocks.astype(jnp.int32), axis=2)        # inclusive
+    counts = prefix[:, :, -1]                                    # (H, C)
+    ccum = jnp.cumsum(counts, axis=1)                            # (H, C)
+    base = ccum - counts                                         # exclusive
+
+    ks = jnp.arange(max_runs, dtype=jnp.int32)                   # (R,)
+    # chunk holding ordinal k = first c with ccum > k
+    chunk_idx = jnp.sum((ccum[:, :, None] <= ks[None, None, :]).astype(
+        jnp.int32), axis=1)                                      # (H, R)
+    in_range = chunk_idx < nc
+    onehot = (jnp.arange(nc, dtype=jnp.int32)[None, :, None]
+              == chunk_idx[:, None, :]).astype(jnp.float32)      # (H, C, R)
+    # per-k chunk prefix/flag blocks + base via one MXU contraction over C
+    pref_k = jnp.einsum("hcr,hcb->hrb", onehot, prefix.astype(jnp.float32))
+    flag_k = jnp.einsum("hcr,hcb->hrb", onehot, blocks.astype(jnp.float32))
+    base_k = jnp.einsum("hcr,hc->hr", onehot, base.astype(jnp.float32))
+
+    local = ks[None, :].astype(jnp.float32) - base_k             # (H, R)
+    hit = (flag_k > 0.5) & (pref_k == local[:, :, None] + 1.0)   # (H, R, 32)
+    bit = jnp.sum(jnp.where(
+        hit, jnp.arange(c, dtype=jnp.int32)[None, None, :], 0), axis=2)
+    pos = chunk_idx * c + bit
+    return jnp.where(in_range, pos, w).astype(jnp.int32)
+
+
+def _row_run_tables(fg: jax.Array, max_runs: int):
+    """Compress each row's foreground runs into (H, R) x0/x1 tables
+    (start/end x of run k; run_valid marks real runs) plus the per-pixel
+    run ordinal ``starts_cum`` used by the clean-mask painter."""
     h, w = fg.shape
     left = jnp.pad(fg[:, :-1], ((0, 0), (1, 0)), constant_values=False)
     right = jnp.pad(fg[:, 1:], ((0, 0), (0, 1)), constant_values=False)
     is_start = fg & ~left
     is_end = fg & ~right
     starts_cum = jnp.cumsum(is_start.astype(jnp.int32), axis=1)
-    ends_cum = jnp.cumsum(is_end.astype(jnp.int32), axis=1)
     n_runs = starts_cum[:, -1]                                   # (H,)
 
-    bins = jnp.arange(max_runs, dtype=jnp.int32)                 # (R,)
-    cs = jnp.minimum(starts_cum, max_runs)[:, :, None]           # (H, W, 1)
-    ce = jnp.minimum(ends_cum, max_runs)[:, :, None]
-    # cumulative histograms fused by XLA into per-bin masked counts
-    x0 = jnp.sum((cs <= bins[None, None, :]).astype(jnp.int32), axis=1)
-    x1 = jnp.sum((ce <= bins[None, None, :]).astype(jnp.int32), axis=1)
+    x0 = _positions_of_kth(is_start, max_runs)
+    x1 = _positions_of_kth(is_end, max_runs)
+    bins = jnp.arange(max_runs, dtype=jnp.int32)
     run_valid = bins[None, :] < jnp.minimum(n_runs, max_runs)[:, None]
+    # out-of-range slots got x = W; keep the old sentinel shape (any value
+    # is fine where run_valid is False, but stay in-dtype-range)
     return x0, x1, run_valid, starts_cum
 
 
