@@ -121,24 +121,10 @@ def main() -> None:
         x = normalize_imagenet(imgs_u8.astype(jnp.float32), jnp.bfloat16)
         if use_int8:
             from vickers_tpu.quant import quant_forward
-            from vickers_tpu.quant.model import (quant_forward_fused,
-                                                 quant_forward_s2d)
 
-            # VICKERS_BENCH_FWD: xla (plain int8 requant path), s2d (XLA
-            # int8 with the space-to-depth low-channel-tail restructure),
-            # fused (Pallas kernels); default = measured-best on-chip
-            fwd = os.environ.get("VICKERS_BENCH_FWD", "xla")
-            if os.environ.get("VICKERS_BENCH_FUSED", "0") == "1":
-                fwd = "fused"
-            if fwd == "fused":
-                logits = quant_forward_fused(
-                    weights, x.astype(jnp.float32),
-                    interpret=jax.default_backend() == "cpu")[..., 0]
-            elif fwd == "s2d":
-                logits = quant_forward_s2d(
-                    weights, x.astype(jnp.float32))[..., 0]
-            else:
-                logits = quant_forward(weights, x.astype(jnp.float32))[..., 0]
+            # the one production int8 forward (Pallas fused / s2d variants
+            # measured slower on-chip in round 3 and were deleted)
+            logits = quant_forward(weights, x.astype(jnp.float32))[..., 0]
         else:
             logits = model.apply(weights, x, train=False)[..., 0]
         probs = jax.nn.sigmoid(logits)

@@ -75,27 +75,21 @@ def main():
 
     try:
         from vickers_tpu.quant import calibrate, quantize
-        from vickers_tpu.quant.model import quant_forward, quant_forward_fused
+        from vickers_tpu.quant.model import quant_forward
 
         calib = normalize_imagenet(jnp.asarray(np.asarray(imgs[:8]), jnp.float32))
         folded, absmax = calibrate(params, stats, calib)
         qp = quantize(folded, absmax)
 
-        def make_fwd_q(fused):
-            @jax.jit
-            def fwd_q(u8, salt):
-                x = normalize_imagenet(
-                    (u8 + salt.astype(jnp.uint8)).astype(jnp.float32))
-                f = quant_forward_fused if fused else quant_forward
-                p = jax.nn.sigmoid(f(qp, x)[..., 0])
-                return jnp.sum(p[:, ::64, ::64])
-            return fwd_q
+        @jax.jit
+        def fq_xla(u8, salt):
+            x = normalize_imagenet(
+                (u8 + salt.astype(jnp.uint8)).astype(jnp.float32))
+            p = jax.nn.sigmoid(quant_forward(qp, x)[..., 0])
+            return jnp.sum(p[:, ::64, ::64])
 
-        fq_xla, fq_pal = make_fwd_q(False), make_fwd_q(True)
         results["forward int8 (XLA requant)"] = chained(
             lambda s: fq_xla(imgs, s), jnp.float32(0.0), iters)
-        results["forward int8 (Pallas fused)"] = chained(
-            lambda s: fq_pal(imgs, s), jnp.float32(0.0), iters)
     except Exception as e:
         print("int8 stages skipped:", e, file=sys.stderr)
 

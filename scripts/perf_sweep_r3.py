@@ -31,7 +31,7 @@ def main():
     from vickers_tpu.ops.image import normalize_imagenet
     from vickers_tpu.ops.postprocess import postprocess
     from vickers_tpu.quant import calibrate, quantize
-    from vickers_tpu.quant.model import quant_forward, quant_forward_fused
+    from vickers_tpu.quant.model import quant_forward
 
     iters, size = 20, 512
     post = PostprocessConfig()
@@ -94,22 +94,14 @@ def main():
             folded, absmax = calibrate(params, stats, calib)
             qp = quantize(folded, absmax)
 
-            for name, f in (("xla", None), ("fused-pipelined", None)):
-                @jax.jit
-                def fwd(u8, salt, name=name):
-                    x = normalize_imagenet(
-                        (u8 + salt.astype(jnp.uint8)).astype(jnp.float32))
-                    if name == "xla":
-                        lg = quant_forward(qp, x)[..., 0]
-                    else:
-                        lg = quant_forward_fused(qp, x)[..., 0]
-                    return jnp.sum(jax.nn.sigmoid(lg)[:, ::64, ::64])
+            @jax.jit
+            def fwd(u8, salt):
+                x = normalize_imagenet(
+                    (u8 + salt.astype(jnp.uint8)).astype(jnp.float32))
+                return jnp.sum(jax.nn.sigmoid(
+                    quant_forward(qp, x)[..., 0])[:, ::64, ::64])
 
-                try:
-                    emit(f"forward int8 {name}", batch,
-                         chained(lambda s: fwd(imgs, s)))
-                except Exception as e:
-                    print(f"forward {name} FAILED: {e}", file=sys.stderr)
+            emit("forward int8 xla", batch, chained(lambda s: fwd(imgs, s)))
 
 
 if __name__ == "__main__":

@@ -255,23 +255,13 @@ class InferenceEngine:
         folded, absmax = calibrate(self.params, self.batch_stats, calib)
         self.qparams = quantize(folded, absmax)
 
-    def _batch_fn_quant(self, size: int, post: PostprocessConfig, hv: HVConfig,
-                        fused: bool = False):
-        # fused=False default: the XLA int8 requant path is the measured-best
-        # serving config on-chip (BENCH.md stage table); the Pallas fused
-        # path stays opt-in until it wins its go/no-go.
+    def _batch_fn_quant(self, size: int, post: PostprocessConfig, hv: HVConfig):
+        # the XLA int8 requant path is the one production int8 forward (the
+        # Pallas fused and s2d variants measured slower on-chip and were
+        # deleted; BENCH.md records the numbers)
         from vickers_tpu.quant import quant_forward
-        from vickers_tpu.quant.model import quant_forward_fused
 
-        # Pallas kernels only compile on TPU; CPU (tests) runs them in
-        # interpret mode through the same code path.
-        interpret = jax.default_backend() == "cpu"
-
-        if fused:
-            def fwd(qparams, x):
-                return quant_forward_fused(qparams, x, interpret=interpret)
-        else:
-            fwd = quant_forward
+        fwd = quant_forward
 
         @jax.jit
         def fn(qparams, imgs_u8):
@@ -281,7 +271,7 @@ class InferenceEngine:
             res = jax.vmap(lambda p: postprocess(p, post, hv))(probs)
             return probs, res
 
-        return self._cached(("batch_q", size, post, hv, fused), lambda: fn)
+        return self._cached(("batch_q", size, post, hv), lambda: fn)
 
     def _variables(self):
         return {"params": self.params, "batch_stats": self.batch_stats}
