@@ -99,14 +99,35 @@ def make_tiled_prob_fn(model: VickersUNet, h: int, w: int,
 class TiledEngine:
     """High-res engine: full-resolution prob + full-resolution geometry."""
 
-    def __init__(self, engine, tile: int = 512, overlap: int = 64):
+    def __init__(self, engine, tile: int = 512, overlap: int = 64,
+                 min_rel_area: float = 0.15, min_center_prob: float = 0.8):
         from vickers_tpu.infer.engine import InferenceEngine
 
         assert isinstance(engine, InferenceEngine)
         self.engine = engine
         self.tile = tile
         self.overlap = overlap
+        # Tiled-mode-only detection filters (no reference counterpart — the
+        # reference never sees native resolution).  Set 0.0 to disable.
+        #
+        # min_rel_area: drop detections smaller than this fraction of the
+        # largest one.  Corner-vignette blobs clear the absolute min_area
+        # floor at native scale; genuine multi-indentation images have
+        # near-equal sizes (observed ratios >= 0.9), so 0.15 separates.
+        self.min_rel_area = min_rel_area
+        # min_center_prob: drop detections whose mean probability over the
+        # detection core (0.15*d_mean window at the center) is below this.
+        # Real indentations measure 0.86-1.00 on the val split; large dark
+        # corner structures (vignette / info bar) that fool the model at
+        # native scale measure 0.59-0.73 — 0.8 separates with margin.
+        self.min_center_prob = min_center_prob
         self._fns = {}
+
+    def _center_prob(self, prob: np.ndarray, det) -> float:
+        cx, cy = int(det.center[0]), int(det.center[1])
+        r = max(3, int(0.15 * det.d_mean))
+        win = prob[max(0, cy - r):cy + r, max(0, cx - r):cx + r]
+        return float(win.mean()) if win.size else 0.0
 
     def prob(self, img_bgr: np.ndarray) -> np.ndarray:
         h, w = img_bgr.shape[:2]
@@ -141,4 +162,11 @@ class TiledEngine:
             pad_top=0, pad_bottom=0, pad_left=0, pad_right=0,
             mode=LetterboxMode.CENTER_NO_UPSCALE,
         )
-        return prob, _rescale_detections(res.detections, ident, self.engine.cfg.hv)
+        dets = _rescale_detections(res.detections, ident, self.engine.cfg.hv)
+        if dets and self.min_rel_area > 0.0:
+            floor = self.min_rel_area * max(d.area for d in dets)
+            dets = [d for d in dets if d.area >= floor]
+        if dets and self.min_center_prob > 0.0:
+            dets = [d for d in dets
+                    if self._center_prob(prob, d) >= self.min_center_prob]
+        return prob, dets
