@@ -17,7 +17,7 @@ fetched to host.  This defeats lazy/async backends that skip executions whose
 results are never observed — ``block_until_ready`` alone measures nothing on
 the axon relay.
 
-Env knobs: VICKERS_BENCH_QUANT=0|1 (default 1: int8 fused Pallas convs),
+Env knobs: VICKERS_BENCH_QUANT=0|1 (default 1: int8 XLA requant forward),
 VICKERS_BENCH_BATCH (default 256: the geometry row-scans are latency-bound,
 so large batches amortize them), VICKERS_BENCH_ITERS (default 20).
 

@@ -103,19 +103,101 @@ def main():
     ok = (len(rows) >= 3 and
           all(r["detections_exact_vs_1dev"] and
               not r["tensor_collectives"] for r in rows))
+
+    train_rows = bench_train_scaling(jax)
+    train_ok = (len(train_rows) >= 3 and
+                all(r["loss_matches_1dev"] for r in train_rows))
     out = {
-        "ok": ok,
+        "ok": ok and train_ok,
         "meaning": "batch-sharded serving moves no tensor bytes between "
                    "devices (only scalar while-predicate syncs); pod-slice "
                    "throughput = chips x single-chip bench.py number (ICI "
-                   "idle in serving; DP training psum is covered by "
-                   "tests/test_parallel.py)",
+                   "idle in serving).  Training: same GLOBAL batch sharded "
+                   "over 1/2/4/8 devices yields the same loss (psum grad "
+                   "all-reduce == DDP semantics + SyncBN), with grad "
+                   "all-reduces present in the HLO as expected; CPU-mesh "
+                   "step times are shape evidence, not TPU throughput.",
         "mesh_rows": rows,
+        "train_rows": train_rows,
     }
     with open("PARALLEL_SCALING.json", "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"parallel_scaling_ok": ok}))
-    return 0 if ok else 1
+    print(json.dumps({"parallel_scaling_ok": ok, "train_scaling_ok": train_ok}))
+    return 0 if (ok and train_ok) else 1
+
+
+def bench_train_scaling(jax):
+    """DP TRAINING scaling on the virtual mesh (round-3 verdict next #7):
+    fixed global batch, 1/2/4/8-device meshes — asserts global-batch
+    semantics (identical loss trajectory regardless of device count) and
+    records per-step wall time + the grad-reduce collectives in the HLO."""
+    import re
+    import time
+
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh
+
+    from vickers_tpu.models.unet import build_model, init_model
+    from vickers_tpu.parallel.dp import (make_dp_train_step, replicate,
+                                         shard_batch)
+    from vickers_tpu.train.engine import create_train_state
+
+    size, global_batch, steps = 128, 8, 4
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (global_batch, size, size, 3), np.uint8)
+    masks = (rng.random((global_batch, size, size)) < 0.2).astype(np.uint8)
+    weights = np.ones((global_batch,), np.float32)
+
+    model = build_model(dtype=jnp.float32)
+    base_params, base_stats = init_model(model, jax.random.PRNGKey(0), size)
+    tx = optax.adamw(1e-4, weight_decay=1e-4)
+    key = jax.random.PRNGKey(7)
+
+    rows, base_losses = [], None
+    for n in (1, 2, 4, 8):
+        if n > len(jax.devices()):
+            break
+        mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+        # aug=None: per-shard RNG fold-in would decorrelate augmentation and
+        # (correctly) change the loss across device counts — determinism of
+        # the *optimization semantics* is what this asserts
+        step_fn = make_dp_train_step(model, tx, None, mesh)
+        state = replicate(mesh, create_train_state(
+            model, jax.tree.map(jnp.copy, base_params),
+            jax.tree.map(jnp.copy, base_stats), tx))
+        bi, bm, bw = shard_batch(mesh, imgs, masks, weights)
+
+        losses = []
+        state, l0 = step_fn(state, bi, bm, bw, key)   # compile + step 1
+        jax.block_until_ready(l0)
+        losses.append(float(l0))
+        t0 = time.perf_counter()
+        for _ in range(steps - 1):
+            state, loss = step_fn(state, bi, bm, bw, key)
+            losses.append(float(loss))
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / (steps - 1)
+
+        lowered = make_dp_train_step(model, tx, None, mesh)
+        hlo = lowered.lower(state, bi, bm, bw, key).compile().as_text()
+        reduces = sorted({m for m in re.findall(
+            r"\b(all-reduce|reduce-scatter|all-gather)\b", hlo)})
+
+        if base_losses is None:
+            base_losses = losses
+            match = True
+        else:
+            match = all(abs(a - b) < 5e-3 * max(1.0, abs(a))
+                        for a, b in zip(base_losses, losses))
+        rows.append({"devices": n, "global_batch": global_batch,
+                     "losses": [round(x, 5) for x in losses],
+                     "loss_matches_1dev": bool(match),
+                     "step_ms_cpu_mesh": round(dt * 1000, 1),
+                     "hlo_collectives": reduces})
+        print(f"train mesh={n}: losses={[round(x,4) for x in losses]} "
+              f"match={match} step={dt*1000:.0f}ms coll={reduces}")
+    return rows
 
 
 if __name__ == "__main__":

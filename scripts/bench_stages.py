@@ -44,9 +44,16 @@ def main():
     from vickers_tpu.ops.image import normalize_imagenet
     from vickers_tpu.ops.postprocess import postprocess
 
-    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 64
-    iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 20
-    size = 512
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="merge stage records into this JSON file")
+    args = ap.parse_args()
+    batch, iters, size = args.batch, args.iters, args.size
     post = PostprocessConfig()
     hv = HVConfig(force_kgf=0.3, um_per_px=2.0)
 
@@ -150,13 +157,18 @@ def main():
              "ms_per_batch": round(v * 1000, 2),
              "images_per_sec": round(batch / v, 1)}
             for k, v in results.items()]
-    out = "--json" in sys.argv and sys.argv[sys.argv.index("--json") + 1]
+    out = args.json
     if out:
         import os
         prev = []
         if os.path.exists(out):
             prev = json.loads(open(out).read())
-            prev = [r for r in prev if r.get("batch") != batch]
+            # replace only records for the same (stage, batch, size) so
+            # different sizes/batches coexist instead of silently mixing
+            new_keys = {(r["stage"], r["batch"], r["size"]) for r in recs}
+            prev = [r for r in prev
+                    if (r.get("stage"), r.get("batch"), r.get("size", size))
+                    not in new_keys]
         with open(out, "w") as f:
             json.dump(prev + recs, f, indent=1)
     for r in recs:

@@ -176,3 +176,43 @@ def test_cli_infer_batched(tmp_path, capsys):
     recs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(recs) == 3
     assert all(r["image"] in paths for r in recs)
+
+
+def test_cli_infer_batched_overflow_reroutes(tmp_path, capsys, monkeypatch):
+    """The batched CLI must honor the PostprocessResult.overflow contract
+    (infer/engine.py detect_batch docstring): a flagged image's geometry is
+    replayed through the exact pixel labeler instead of silently emitting
+    possibly-truncated detections (round-3 verdict weak #5)."""
+    import cv2
+    import jax.numpy as jnp
+    import torch
+
+    from vickers_tpu.apps.cli import main
+    from vickers_tpu.compat.torch_ref import build_torch_model
+    from vickers_tpu.infer.engine import InferenceEngine
+
+    torch.manual_seed(0)
+    torch.save(build_torch_model().state_dict(), tmp_path / "best.pth")
+    p = tmp_path / "img.png"
+    rng = np.random.default_rng(0)
+    cv2.imwrite(str(p), rng.integers(0, 256, (64, 64, 3), np.uint8))
+
+    # a prob map with one clean 30x40 blob: the exact labeler must find it
+    prob = np.zeros((64, 64), np.float32)
+    prob[10:40, 12:52] = 1.0
+
+    class FakeRes:
+        overflow = np.array([True])
+        detections = None  # must never be touched for a flagged image
+
+    def fake_detect_batch(self, imgs, quantized=False):
+        return jnp.asarray(prob)[None], FakeRes()
+
+    monkeypatch.setattr(InferenceEngine, "detect_batch", fake_detect_batch)
+    rc = main(["infer", "--model-dir", str(tmp_path), "--img-size", "64",
+               "--batched", "--json", str(p)])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "overflow" in cap.err
+    recs = json.loads(cap.out.strip().splitlines()[-1])
+    assert len(recs[0]["detections"]) == 1      # the blob survived the reroute

@@ -245,11 +245,28 @@ def _infer_batched(args, engine) -> int:
     if args.int8:
         engine.enable_quant(imgs[: min(8, len(paths))])
     probs, res = engine.detect_batch(imgs, quantized=args.int8)
+    # Honor the exactness contract (infer/engine.py detect_batch docstring):
+    # images whose run-table bound overflowed may have dropped detections —
+    # replay just their geometry through the exact pixel labeler.
+    overflow = np.asarray(res.overflow)
     results = []
     for i, p in enumerate(paths):
         geom = letterbox_geometry(int(hw[i, 0]), int(hw[i, 1]), size,
                                   LetterboxMode.CENTER_UPSCALE)
-        det_i = Detections(*[x[i] for x in res.detections])
+        if bool(overflow[i]):
+            import dataclasses as _dc
+
+            import jax.numpy as jnp
+
+            from vickers_tpu.ops.postprocess import postprocess
+
+            exact = _dc.replace(engine.cfg.post, cc_impl="pixel")
+            res_i = postprocess(jnp.asarray(probs[i]), exact, engine.cfg.hv)
+            det_i = res_i.detections
+            print(f"note: {p}: run-table overflow, re-ran exact pixel "
+                  f"labeler", file=sys.stderr)
+        else:
+            det_i = Detections(*[x[i] for x in res.detections])
         dets = _rescale_detections(det_i, geom, engine.cfg.hv)
         results.append({"image": p, "detections": [
             {"label": d.label, "area": d.area, "center": list(d.center),

@@ -14,7 +14,7 @@ its byte-identical twin in ui_infer_quadrilateral.py:591-711):
 - ``detect(bgr)``: the TPU-native full path — geometry runs at model
   resolution on device and only the (tiny) detection tensors come back,
   rescaled to original pixel coordinates.  No full-res prob transfer, no
-  host geometry: this is what makes the ≥1000x throughput target possible.
+  host geometry: this is what the ≥5000 img/s/chip north star rides on.
 - ``infer_batch`` / ``detect_batch``: the batched serving path for
   same-shape inputs.
 

@@ -163,10 +163,15 @@ class TiledEngine:
             mode=LetterboxMode.CENTER_NO_UPSCALE,
         )
         dets = _rescale_detections(res.detections, ident, self.engine.cfg.hv)
-        if dets and self.min_rel_area > 0.0:
-            floor = self.min_rel_area * max(d.area for d in dets)
-            dets = [d for d in dets if d.area >= floor]
+        # Confidence filter FIRST: the rel-area floor must be computed from
+        # high-confidence detections only, otherwise a large low-confidence
+        # blob (corner vignette / info bar, center-prob 0.59-0.73) sets a
+        # floor that drops the genuine indentation before the blob itself is
+        # removed by the confidence filter (round-3 advisor finding).
         if dets and self.min_center_prob > 0.0:
             dets = [d for d in dets
                     if self._center_prob(prob, d) >= self.min_center_prob]
+        if dets and self.min_rel_area > 0.0:
+            floor = self.min_rel_area * max(d.area for d in dets)
+            dets = [d for d in dets if d.area >= floor]
         return prob, dets

@@ -127,6 +127,22 @@ def run_ssl_pretrain(data: str, out: str, variant: str = "mask",
     enable_persistent_cache()
     root_key = set_seed(seed)
     man = scan(data, require_masks=False, drop_orphans=False)
+    # Pre-train only on the TRAIN split (same seed/ratio stream as the
+    # fine-tune) plus any unlabeled orphans: SSL must never see val-split
+    # pixels, or the headline val Dice is partially self-trained on its own
+    # validation images (round-3 advisor finding).
+    from vickers_tpu.data.manifest import split_manifest
+
+    full_paths = [s.image for s in man.samples]
+    train_man, val_man = split_manifest(man, seed=42, val_ratio=0.1,
+                                        all_image_paths=full_paths)
+    labeled_val = {s.image for s in val_man.samples if s.mask is not None}
+    from vickers_tpu.data.manifest import Manifest
+
+    man = Manifest(tuple(s for s in man.samples
+                         if s.image not in labeled_val))
+    log.info("ssl: excluded %d val-split images from pre-training",
+             len(labeled_val))
     crop_ds = CropDataset(man, tile=tile, fg_bias=0.5)
     log.info("ssl[%s]: %d source images, %d steps x batch %d",
              variant, len(crop_ds), steps, batch)
