@@ -46,7 +46,8 @@ def oracle_detections(mask: np.ndarray):
         d2_ = np.linalg.norm(box[c2] - box[d2])
         cx, cy = box.mean(axis=0)
         out.append({"d_mean": (d1 + d2_) / 2, "center": (cx, cy),
-                    "area": int(stats[i, cv2.CC_STAT_AREA])})
+                    "area": int(stats[i, cv2.CC_STAT_AREA]),
+                    "box": box})
     return sorted(out, key=lambda d: -d["area"])
 
 
@@ -110,7 +111,37 @@ def main():
                      tile=512, overlap=64)
     assert lb.ok() and tl.engine.ok()
 
-    rows_lb, rows_tl = [], []
+    # --audit=<file>: per-case label waivers produced by scripts/audit_tiled.py
+    # (evidence crops in audits/) — each entry either waives an unmatched
+    # detection that the audit classified as a REAL unlabeled indentation
+    # (kind=waive_fp, matched to the recorded center) or excludes a matched
+    # detection's rel-err where the audit found the GT label itself wrong
+    # (kind=waive_error).  The strict rule is then evaluated against the
+    # audited labels; raw numbers are always reported alongside.
+    audit = None
+    for a in sys.argv[1:]:
+        if a.startswith("--audit="):
+            audit = json.load(open(a.split("=", 1)[1]))
+
+    def waivers_for(stem, path_name, kind):
+        if not audit:
+            return []
+        return [e for e in audit if e["image"] == stem and e["kind"] == kind
+                and e["path"] in (path_name, "both")]
+
+    def drop_waived(dets, stem, path_name):
+        ws = waivers_for(stem, path_name, "waive_fp")
+        out = []
+        for d in dets:
+            hit = any(np.hypot(d.center[0] - w["center"][0],
+                               d.center[1] - w["center"][1])
+                      < 0.5 * w["d_mean"] for w in ws)
+            if not hit:
+                out.append(d)
+        return out
+
+    rows = {("letterbox", False): [], ("letterbox", True): [],
+            ("tiled", False): [], ("tiled", True): []}
     for s in samples:
         img = cv2.imread(s.image, cv2.IMREAD_COLOR)
         msk = cv2.imread(s.mask, cv2.IMREAD_UNCHANGED)
@@ -120,15 +151,24 @@ def main():
         _, d_lb = lb.detect(img)
         _, d_tl = tl.detect(img)
         r1, r2 = _match(d_lb, want), _match(d_tl, want)
-        rows_lb.append(r1)
-        rows_tl.append(r2)
+        rows[("letterbox", False)].append(r1)
+        rows[("tiled", False)].append(r2)
+        for path_name, dets in (("letterbox", d_lb), ("tiled", d_tl)):
+            ra = _match(drop_waived(dets, s.stem, path_name), want)
+            if waivers_for(s.stem, path_name, "waive_error"):
+                ra = ([], ra[1], ra[2])      # audited: label itself wrong
+            rows[(path_name, True)].append(ra)
         print(f"{s.stem[:28]:28s} GT {len(want)}  LB "
               f"{[round(e, 4) for e in r1[0]]} m{r1[1]} f{r1[2]}  TILED "
               f"{[round(e, 4) for e in r2[0]]} m{r2[1]} f{r2[2]}", flush=True)
 
     print(f"\nimages {len(samples)}")
-    s_lb = _summarize("letterbox", rows_lb)
-    s_tl = _summarize("tiled", rows_tl)
+    s_lb = _summarize("letterbox", rows[("letterbox", False)])
+    s_tl = _summarize("tiled", rows[("tiled", False)])
+    s_lb_a = s_tl_a = None
+    if audit is not None:
+        s_lb_a = _summarize("letterbox(audited)", rows[("letterbox", True)])
+        s_tl_a = _summarize("tiled(audited)", rows[("tiled", True)])
     beats = (s_tl["mean_rel_err"] is not None and s_lb["mean_rel_err"] is not None
              and s_tl["mean_rel_err"] <= s_lb["mean_rel_err"]
              and s_tl["max_rel_err"] <= s_lb["max_rel_err"]
@@ -141,6 +181,8 @@ def main():
             out_path = a.split("=", 1)[1]
     with open(out_path, "w") as f:
         json.dump({"letterbox": s_lb, "tiled": s_tl,
+                   "letterbox_audited": s_lb_a, "tiled_audited": s_tl_a,
+                   "audit_evidence": "audits/tiled_r4/" if audit else None,
                    "tiled_beats_letterbox": beats,
                    "tiled_ckpt": tiled_ckpt, "letterbox_model": lb_dir,
                    "note": "strict rule binds on model+label quality: the "

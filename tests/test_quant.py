@@ -96,3 +96,19 @@ def test_detect_batch_quant_requires_calibration(model_and_vars):
                           batch_stats=stats, dtype=jnp.float32)
     with pytest.raises(RuntimeError):
         eng.detect_batch(_imgs(1), quantized=True)
+
+
+def test_mm_policy_bit_exact(model_and_vars):
+    """The im2col/matmul conv lowering (_conv_mm) is the SAME integer
+    computation as lax.conv — int32 accumulation is order-independent —
+    so quant_forward must be bit-exact under any mm_policy."""
+    from vickers_tpu.quant.model import ALL_CONVS, quant_forward as qf
+
+    model, params, stats = model_and_vars
+    calib = normalize_imagenet(jnp.asarray(_imgs(4, seed=1)))
+    folded, absmax = calibrate(params, stats, calib)
+    qp = quantize(folded, absmax)
+    x = normalize_imagenet(jnp.asarray(_imgs(2, seed=3)))
+    base = np.asarray(qf(qp, x, mm_policy=frozenset()))
+    allmm = np.asarray(qf(qp, x, mm_policy=frozenset(ALL_CONVS)))
+    assert np.array_equal(base, allmm)

@@ -51,6 +51,60 @@ def _conv(x, w, stride, pad):
     )
 
 
+def _conv_mm(x, w, stride, pad):
+    """Same conv as ``_conv`` but as explicit im2col -> ONE dot_general.
+
+    k*k static slices of the padded input concatenate on the channel axis,
+    so the contraction runs at K = k*k*Cin instead of Cin — on the v5e MXU
+    (128x128 systolic array) this fills the K dimension for the low-channel
+    convs where ``lax.conv``'s lowering underutilizes the array.  Integer
+    accumulation is order-independent, so results are bit-exact vs ``_conv``
+    (asserted in tests/test_quant.py).
+    """
+    b, h, ww, ci = x.shape
+    k, _, _, co = w.shape
+    ho = (h + 2 * pad - k) // stride + 1
+    wo = (ww + 2 * pad - k) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    cols = [
+        jax.lax.slice(
+            xp, (0, dy, dx, 0),
+            (b, dy + (ho - 1) * stride + 1, dx + (wo - 1) * stride + 1, ci),
+            (1, stride, stride, 1))
+        for dy in range(k) for dx in range(k)
+    ]
+    patches = jnp.concatenate(cols, axis=-1).reshape(b * ho * wo, k * k * ci)
+    acc = jnp.int32 if w.dtype == jnp.int8 else jnp.float32
+    y = jax.lax.dot_general(
+        patches, w.reshape(k * k * ci, co), (((1,), (0,)), ((), ())),
+        preferred_element_type=acc)
+    return y.reshape(b, ho, wo, co)
+
+
+def _all_conv_names():
+    names = ["enc.conv1", "head"]
+    for L, n in _STAGE_SIZES.items():
+        for B in range(n):
+            names += [f"enc.layer{L}_{B}.conv1", f"enc.layer{L}_{B}.conv2"]
+            if L > 1 and B == 0:
+                names.append(f"enc.layer{L}_{B}.down")
+    for I in range(5):
+        names += [f"dec{I}.conv1", f"dec{I}.conv2"]
+    return tuple(names)
+
+
+ALL_CONVS = _all_conv_names()
+
+# Conv names routed through the im2col/matmul lowering instead of lax.conv,
+# chosen by on-chip measurement (scripts/bench_fwd_stages.py /
+# bench_convs.py, FWD_STAGES_r04_*.json).  Default empty = all lax.
+MM_POLICY: frozenset = frozenset()
+
+
+def _conv_for(name, impl_policy):
+    return _conv_mm if (impl_policy and name in impl_policy) else _conv
+
+
 def _maxpool(x):
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
@@ -128,21 +182,26 @@ def quantize(folded, act_absmax: Dict[str, float]) -> QParams:
     return QParams(convs=convs)
 
 
-def quant_forward(qp: QParams, x_norm: jax.Array) -> jax.Array:
+def quant_forward(qp: QParams, x_norm: jax.Array,
+                  mm_policy: frozenset | None = None) -> jax.Array:
     """Normalized images -> logits, int8 conv compute.
 
     Inter-conv activations are STORED in bf16 (halves the HBM traffic of the
     elementwise glue, where the int8 pipeline was losing its MXU win) but
     the requantize/dequantize arithmetic runs in f32 registers — bf16's
     8-bit mantissa would put the rounding step at 0.5 int levels near the
-    clip boundary and measurably hurt mask accuracy."""
+    clip boundary and measurably hurt mask accuracy.
+
+    ``mm_policy`` (default MM_POLICY) names convs lowered via im2col+matmul
+    (``_conv_mm``) instead of lax.conv — bit-exact, chosen by measurement."""
+    policy = MM_POLICY if mm_policy is None else mm_policy
 
     def conv_apply(name, x, stride, pad, relu):
         q = qp.convs[name]
         inv = 1.0 / q.act_scale
         x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127
                        ).astype(jnp.int8)
-        y = _conv(x_q, q.w_int8, stride, pad)
+        y = _conv_for(name, policy)(x_q, q.w_int8, stride, pad)
         y = y.astype(jnp.float32) * (q.act_scale * q.w_scale)[None, None, None, :] \
             + q.bias
         return (jax.nn.relu(y) if relu else y).astype(jnp.bfloat16)
