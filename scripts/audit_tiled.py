@@ -26,11 +26,19 @@ Reference contrast: the reference has no high-res path to audit at all
 Usage: python scripts/audit_tiled.py [tiled_ckpt] [letterbox_model_dir]
 """
 import json
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
+
+if os.environ.get("VICKERS_CPU"):
+    # run on the CPU backend so the audit can proceed while training owns
+    # the TPU relay (two axon processes deadlock — .claude/skills/verify)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import cv2
 import numpy as np

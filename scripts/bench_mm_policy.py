@@ -55,15 +55,23 @@ def main():
     cin = {name: Ci for name, _, _, Ci, _, _, _, _ in conv_table(size)}
     k3 = {n for n, _, _, _, _, k, _, _ in conv_table(size) if k == 3}
 
+    E = frozenset()
+    TAIL = frozenset({"dec2.conv1", "dec2.conv2", "dec3.conv1", "dec3.conv2",
+                      "dec4.conv1", "dec4.conv2", "head"})
+    DEC34 = frozenset({"dec3.conv1", "dec3.conv2", "dec4.conv1", "dec4.conv2",
+                       "head"})
+    LAYER1 = frozenset(n for n in ALL_CONVS if "layer1" in n)
+    # name -> (mm_policy, pallas_policy)
     POLICIES = {
-        "all-lax": frozenset(),
-        "all-mm": frozenset(ALL_CONVS),
-        "mm-3x3": frozenset(n for n in ALL_CONVS if n in k3),
-        "mm-ci<=64": frozenset(n for n in ALL_CONVS
-                               if cin.get(n, 999) <= 64 and n in k3),
-        "mm-ci<=32": frozenset(n for n in ALL_CONVS
-                               if cin.get(n, 999) <= 32 and n in k3),
-        "mm-conv1": frozenset({"enc.conv1"}),
+        "all-lax": (E, E),
+        "all-mm": (frozenset(ALL_CONVS), E),
+        "mm-3x3": (frozenset(n for n in ALL_CONVS if n in k3), E),
+        "mm-ci<=64": (frozenset(n for n in ALL_CONVS
+                                if cin.get(n, 999) <= 64 and n in k3), E),
+        "mm-conv1": (frozenset({"enc.conv1"}), E),
+        "pallas-tail": (E, TAIL),
+        "pallas-dec34": (E, DEC34),
+        "pallas-tail+l1": (E, TAIL | LAYER1),
     }
     if args.policies:
         keep = args.policies.split(",")

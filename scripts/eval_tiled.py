@@ -18,10 +18,17 @@ Usage: python scripts/eval_tiled.py [tiled_ckpt] [letterbox_model_dir] [--all]
 """
 import itertools
 import json
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, "/root/repo")
+
+if os.environ.get("VICKERS_CPU"):
+    # CPU backend: lets the eval run while training owns the TPU relay
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import cv2
 import numpy as np

@@ -222,6 +222,35 @@ class RunComponents(NamedTuple):
     overflow: jax.Array
 
 
+def _chunk_prefix_tables(flags: jax.Array, c: int = 32):
+    """(H, W) bool -> (blocks (H,C,c) bool, prefix, counts, ccum) int32.
+
+    ``prefix`` is the inclusive in-chunk running count, ``counts`` the
+    per-chunk totals, ``ccum`` the inclusive across-chunk running total.
+    Both prefix sums run as s8 x s8 -> s32 MXU matmuls against triangular
+    ones matrices: ``jnp.cumsum`` lowers to an O(W * window) reduce-window
+    on this TPU backend, and at W=512 x batch those two cumsums were the
+    ENTIRE run-table cost (CC_PROBE_r04.json: run_tables 101 ms/batch-256
+    vs 97 ms for the whole CC stage).  Counts fit int8 (<= c = 32), so the
+    integer matmuls are exact."""
+    h, w = flags.shape
+    pad = (-w) % c
+    if pad:
+        flags = jnp.pad(flags, ((0, 0), (0, pad)), constant_values=False)
+    nc = flags.shape[1] // c
+    blocks = flags.reshape(h, nc, c)
+    iota_c = jnp.arange(c, dtype=jnp.int32)
+    le_c = (iota_c[:, None] <= iota_c[None, :]).astype(jnp.int8)
+    prefix = jnp.einsum("hnb,ba->hna", blocks.astype(jnp.int8), le_c,
+                        preferred_element_type=jnp.int32)        # inclusive
+    counts = prefix[:, :, -1]                                    # (H, C)
+    iota_n = jnp.arange(nc, dtype=jnp.int32)
+    le_n = (iota_n[:, None] <= iota_n[None, :]).astype(jnp.int8)
+    ccum = jnp.einsum("hn,nm->hm", counts.astype(jnp.int8), le_n,
+                      preferred_element_type=jnp.int32)          # inclusive
+    return blocks, prefix, counts, ccum
+
+
 def _positions_of_kth(flags: jax.Array, max_runs: int) -> jax.Array:
     """(H, W) bool -> (H, R) int32: x-position of the (k+1)-th True per row
     (W for rows with fewer than k+1 flags).
@@ -235,14 +264,8 @@ def _positions_of_kth(flags: jax.Array, max_runs: int) -> jax.Array:
     H*W*R to ~H*(W + C*R + 32*R): ~6x at W=512, R=16."""
     h, w = flags.shape
     c = 32
-    pad = (-w) % c
-    if pad:
-        flags = jnp.pad(flags, ((0, 0), (0, pad)), constant_values=False)
-    nc = flags.shape[1] // c
-    blocks = flags.reshape(h, nc, c)
-    prefix = jnp.cumsum(blocks.astype(jnp.int32), axis=2)        # inclusive
-    counts = prefix[:, :, -1]                                    # (H, C)
-    ccum = jnp.cumsum(counts, axis=1)                            # (H, C)
+    blocks, prefix, counts, ccum = _chunk_prefix_tables(flags, c)
+    nc = blocks.shape[1]
     base = ccum - counts                                         # exclusive
 
     ks = jnp.arange(max_runs, dtype=jnp.int32)                   # (R,)
@@ -274,7 +297,10 @@ def _row_run_tables(fg: jax.Array, max_runs: int):
     right = jnp.pad(fg[:, 1:], ((0, 0), (0, 1)), constant_values=False)
     is_start = fg & ~left
     is_end = fg & ~right
-    starts_cum = jnp.cumsum(is_start.astype(jnp.int32), axis=1)
+    # full-row inclusive cumsum reconstructed from the chunked prefix tables
+    # (MXU matmuls; see _chunk_prefix_tables for why not jnp.cumsum)
+    _, prefix_s, counts_s, ccum_s = _chunk_prefix_tables(is_start)
+    starts_cum = ((ccum_s - counts_s)[:, :, None] + prefix_s).reshape(h, -1)[:, :w]
     n_runs = starts_cum[:, -1]                                   # (H,)
 
     x0 = _positions_of_kth(is_start, max_runs)
