@@ -96,7 +96,12 @@ def main() -> None:
     iters = int(os.environ.get("VICKERS_BENCH_ITERS", "20"))
     size = int(os.environ.get("VICKERS_BENCH_SIZE", "512"))  # smoke-testing only
     use_int8 = os.environ.get("VICKERS_BENCH_QUANT", "1") not in ("0", "false")
-    model = build_model(dtype=jnp.bfloat16)
+    # full-precision serving dtype for QUANT=0 runs: f32 by default (bf16
+    # conv *lowering* is pathological on this relay — BENCH.md — while f32
+    # convs lower fine; f32 is the documented non-quantized serving path)
+    fp_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        os.environ.get("VICKERS_BENCH_DTYPE", "float32")]
+    model = build_model(dtype=jnp.bfloat16 if use_int8 else fp_dtype)
     params, stats = init_model(model, jax.random.PRNGKey(0), img_size=size)
     params, stats = _load_weights(params, stats)
     variables = {"params": params, "batch_stats": stats}
@@ -118,7 +123,8 @@ def main() -> None:
         # fold the previous iteration's checksum into the input: builds a
         # serial dependency chain across iterations
         imgs_u8 = imgs_u8 + salt.astype(jnp.uint8)
-        x = normalize_imagenet(imgs_u8.astype(jnp.float32), jnp.bfloat16)
+        x = normalize_imagenet(imgs_u8.astype(jnp.float32),
+                               jnp.bfloat16 if use_int8 else fp_dtype)
         if use_int8:
             from vickers_tpu.quant import quant_forward
 

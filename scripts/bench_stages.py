@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--json", default=None, metavar="PATH",
                     help="merge stage records into this JSON file")
+    ap.add_argument("--skip-bf16", action="store_true",
+                    help="skip the pathological bf16 forward (it alone costs "
+                         "iters x ~6 s of chip time; see BENCH.md)")
     args = ap.parse_args()
     batch, iters, size = args.batch, args.iters, args.size
     post = PostprocessConfig()
@@ -77,8 +80,10 @@ def main():
 
     results = {}
 
-    t = chained(lambda s: fwd_only(variables, imgs, s)[1], jnp.float32(0.0), iters)
-    results["forward+normalize (bf16)"] = t
+    if not args.skip_bf16:
+        t = chained(lambda s: fwd_only(variables, imgs, s)[1],
+                    jnp.float32(0.0), iters)
+        results["forward+normalize (bf16)"] = t
 
     try:
         from vickers_tpu.quant import calibrate, quantize

@@ -215,7 +215,13 @@ def quant_forward(qp: QParams, x_norm: jax.Array,
     Pallas kernel.  All three lowerings are bit-exact; routing is chosen by
     measurement."""
     policy = MM_POLICY if mm_policy is None else mm_policy
-    p_policy = PALLAS_TAIL_POLICY if pallas_policy is None else pallas_policy
+    if pallas_policy is None:
+        # the Pallas kernel needs Mosaic — TPU only; CPU (tests, oracle
+        # runs) silently falls back to the bit-identical lax lowering
+        p_policy = (PALLAS_TAIL_POLICY
+                    if jax.default_backend() not in ("cpu",) else frozenset())
+    else:
+        p_policy = pallas_policy
 
     def conv_apply(name, x, stride, pad, relu):
         q = qp.convs[name]
