@@ -88,16 +88,23 @@ def main():
         return (time.perf_counter() - t0) / iters
 
     rows = []
-    for name, pol in POLICIES.items():
+    for name, (mm_pol, pl_pol) in POLICIES.items():
         @jax.jit
-        def fn(u8, salt, pol=pol):
+        def fn(u8, salt, mm_pol=mm_pol, pl_pol=pl_pol):
             x = normalize_imagenet(u8.astype(jnp.float32) + salt)
-            y = quant_forward(qp, x, mm_policy=pol)
+            y = quant_forward(qp, x, mm_policy=mm_pol, pallas_policy=pl_pol)
             return jnp.sum(y[:, ::16, ::16].astype(jnp.float32))
 
         t0 = time.perf_counter()
-        t = chained(fn, args.iters)
-        rows.append({"policy": name, "batch": B, "n_mm": len(pol),
+        try:
+            t = chained(fn, args.iters)
+        except Exception as e:
+            rows.append({"policy": name, "batch": B,
+                         "error": f"{type(e).__name__}: {e}"[:200]})
+            print(json.dumps(rows[-1]), flush=True)
+            continue
+        rows.append({"policy": name, "batch": B,
+                     "n_mm": len(mm_pol), "n_pallas": len(pl_pol),
                      "ms": round(t * 1000, 2),
                      "compile_s": round(time.perf_counter() - t0
                                         - t * args.iters, 1)})
