@@ -39,12 +39,31 @@ _CKPTS = ("runs/unet_r34_512_r3ssl/best.ckpt",
 _IMG_DIR = "/root/reference/data/images"
 
 
+def _best_512_ckpt():
+    """best.ckpt of the letterbox-512 run with the highest recorded val
+    Dice (runs are comparable only within the unet_r34_512* family — crop/
+    mixed runs score a different val protocol)."""
+    best = None
+    for hist in Path("runs").glob("unet_r34_512*/history.json"):
+        ck = hist.parent / "best.ckpt"
+        if not ck.exists():
+            continue
+        try:
+            d = max(r["val_dice"] for r in json.loads(hist.read_text()))
+        except (ValueError, KeyError, json.JSONDecodeError):
+            continue
+        if best is None or d > best[0]:
+            best = (d, ck)
+    return best
+
+
 def _load_weights(params, stats):
     from vickers_tpu.train import checkpoint as ckpt
 
     if os.environ.get("VICKERS_BENCH_SIZE"):   # smoke mode: skip 512-shaped ckpt
         return params, stats
-    for p in _CKPTS:
+    pick = _best_512_ckpt()
+    for p in ([str(pick[1])] if pick else []) + list(_CKPTS):
         if Path(p).exists():
             tree = ckpt.load_native(p, {"params": params, "batch_stats": stats})
             print(f"bench: weights from {p}", file=sys.stderr)
@@ -99,8 +118,14 @@ def main() -> None:
     # full-precision serving dtype for QUANT=0 runs: f32 by default (bf16
     # conv *lowering* is pathological on this relay — BENCH.md — while f32
     # convs lower fine; f32 is the documented non-quantized serving path)
-    fp_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-        os.environ.get("VICKERS_BENCH_DTYPE", "float32")]
+    dtype_env = os.environ.get("VICKERS_BENCH_DTYPE", "float32")
+    _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+    if dtype_env not in _DTYPES:
+        raise SystemExit(
+            f"VICKERS_BENCH_DTYPE={dtype_env!r} not recognized; accepted "
+            f"values: {sorted(_DTYPES)} (note: this knob only affects "
+            f"VICKERS_BENCH_QUANT=0 runs)")
+    fp_dtype = _DTYPES[dtype_env]
     model = build_model(dtype=jnp.bfloat16 if use_int8 else fp_dtype)
     params, stats = init_model(model, jax.random.PRNGKey(0), img_size=size)
     params, stats = _load_weights(params, stats)

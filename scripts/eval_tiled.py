@@ -58,7 +58,13 @@ def oracle_detections(mask: np.ndarray):
     return sorted(out, key=lambda d: -d["area"])
 
 
-def _match(dets, want):
+def _match(dets, want, err_waivers=()):
+    """Greedy GT<->detection matching.  ``err_waivers`` (audit entries with
+    kind=waive_error) drop ONLY the rel-err of the specific matched
+    detection they name by center/d_mean — not the whole image's samples
+    (round-4 advisor fix: the blanket per-image discard would bias the
+    audited summary optimistically on images with one bad label among
+    several good ones)."""
     errs, used, misses = [], set(), 0
     for o in want:
         best, bi = None, None
@@ -73,7 +79,12 @@ def _match(dets, want):
             misses += 1
             continue
         used.add(bi)
-        errs.append(abs(dets[bi].d_mean - o["d_mean"]) / o["d_mean"])
+        d = dets[bi]
+        waived = any(np.hypot(d.center[0] - w["center"][0],
+                              d.center[1] - w["center"][1]) < 0.5 * w["d_mean"]
+                     for w in err_waivers)
+        if not waived:
+            errs.append(abs(d.d_mean - o["d_mean"]) / o["d_mean"])
     return errs, misses, len(dets) - len(used)
 
 
@@ -161,9 +172,8 @@ def main():
         rows[("letterbox", False)].append(r1)
         rows[("tiled", False)].append(r2)
         for path_name, dets in (("letterbox", d_lb), ("tiled", d_tl)):
-            ra = _match(drop_waived(dets, s.stem, path_name), want)
-            if waivers_for(s.stem, path_name, "waive_error"):
-                ra = ([], ra[1], ra[2])      # audited: label itself wrong
+            ra = _match(drop_waived(dets, s.stem, path_name), want,
+                        waivers_for(s.stem, path_name, "waive_error"))
             rows[(path_name, True)].append(ra)
         print(f"{s.stem[:28]:28s} GT {len(want)}  LB "
               f"{[round(e, 4) for e in r1[0]]} m{r1[1]} f{r1[2]}  TILED "

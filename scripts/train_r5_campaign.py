@@ -1,0 +1,148 @@
+"""Round-5 Dice campaign: the three configurations the round-4 verdict names.
+
+Fourth-round verdict item 1 (the only red coverage row): best committed val
+Dice is 0.95977 vs the reference's 0.97291
+(/root/reference/runs/unet_r34_512/history.json:1812-1820).  The prescribed
+configs, all run here:
+
+  A. mask-SSL at 8000 steps  -> fine-tune (reference recipe + EMA + scale
+     jitter + hard-example oversampling of the etched-texture image003
+     family — the val tail image003 (19) itself is IN the val split, so its
+     16 train-split siblings are what can legally be upweighted).
+  B. mask-SSL at 16000 steps -> same fine-tune.
+  C. multi-crop curriculum 256 -> 384 -> 512 warm-started from the best
+     SSL backbone, oversampling throughout.
+  D. (time permitting) second cosine cycle at lr 5e-5 from the overall best.
+
+Each stage records warm-start loss proxy (ep-2 Dice) and best Dice to
+runs/r5_campaign.json, appending as it goes so a partial run still leaves a
+complete table for the stages that finished.
+
+Usage: python scripts/train_r5_campaign.py --deadline-epoch <unix-ts>
+"""
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+log = logging.getLogger("r5campaign")
+
+from vickers_tpu.core.config import AugmentConfig, TrainConfig
+from vickers_tpu.train.loop import run
+from vickers_tpu.train.ssl import run_ssl_pretrain
+
+DATA = "/root/reference/data"
+EP_SEC = {256: 2.5, 384: 4.5, 512: 7.0}   # fine-tune s/epoch estimates
+SSL_STEP_SEC = 0.32
+OVERSAMPLE = (("image003", 1),)           # 2x sampling for the etched family
+
+
+def left(deadline):
+    return deadline - time.time()
+
+
+def best_of(out):
+    hist = json.loads((Path(out) / "history.json").read_text())
+    return max(h["val_dice"] for h in hist)
+
+
+def finetune(out, warm, deadline, lr=2e-4, min_ep=80, max_ep=420,
+             share=1.0, img_size=512, batch=8, oversample=OVERSAMPLE,
+             patience=70):
+    budget = left(deadline) * share
+    epochs = int(budget / EP_SEC[img_size])
+    if epochs < min_ep:
+        log.info("skip ft %s: only %d epochs fit", out, epochs)
+        return None
+    epochs = min(epochs, max_ep)
+    log.info("fine-tune %s: size %d, %d epochs (%.0f min budget)", out,
+             img_size, epochs, budget / 60)
+    cfg = TrainConfig(
+        data=DATA, epochs=epochs, lr=lr, encoder_weights=warm, out=out,
+        img_size=img_size, batch=batch, dump_all_val=False,
+        checkpoint_every=25, ema_decay=0.999, resume=True,
+        early_stop_patience=patience, oversample=oversample,
+        augment=AugmentConfig(scale_p=0.3, scale_limit=0.2),
+    )
+    hist = run(cfg)
+    best = max(h["val_dice"] for h in hist)
+    ep2 = hist[1]["val_dice"] if len(hist) > 1 else None
+    rec = {"out": out, "warm": warm, "img_size": img_size,
+           "epochs_run": len(hist), "lr": lr, "ep2_dice": ep2,
+           "best_dice": best}
+    log.info("DONE %s", json.dumps(rec))
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--deadline-epoch", type=float, required=True)
+    args = ap.parse_args()
+    deadline = args.deadline_epoch
+    res_path = Path("runs/r5_campaign.json")
+    results = json.loads(res_path.read_text()) if res_path.exists() else []
+
+    def record(rec):
+        if rec:
+            results.append(rec)
+            res_path.write_text(json.dumps(results, indent=2))
+
+    def ssl(out, steps):
+        if not Path(out, "ssl_warmstart.pth").exists():
+            hist = run_ssl_pretrain(DATA, out, variant="mask", steps=steps,
+                                    batch=16, lr=1e-3, tile=512)
+            record({"out": out, "stage": "ssl", "variant": "mask",
+                    "steps": steps, "final_loss": hist[-1]["loss"]})
+        return f"{out}/ssl_warmstart.pth"
+
+    # ---- A: mask-SSL 8k -> fine-tune --------------------------------------
+    warm8k = ssl("runs/ssl_mask8k_r5", 8000)
+    if not Path("runs/unet_r34_512_r5m8k/history.json").exists():
+        record(finetune("runs/unet_r34_512_r5m8k", warm8k, deadline,
+                        share=0.14, max_ep=260))
+
+    # ---- B: mask-SSL 16k -> fine-tune -------------------------------------
+    warm16k = ssl("runs/ssl_mask16k_r5", 16000)
+    if not Path("runs/unet_r34_512_r5m16k/history.json").exists():
+        record(finetune("runs/unet_r34_512_r5m16k", warm16k, deadline,
+                        share=0.35, max_ep=260))
+
+    # ---- C: multi-crop curriculum from the better SSL backbone ------------
+    d8 = best_of("runs/unet_r34_512_r5m8k") \
+        if Path("runs/unet_r34_512_r5m8k/history.json").exists() else -1
+    d16 = best_of("runs/unet_r34_512_r5m16k") \
+        if Path("runs/unet_r34_512_r5m16k/history.json").exists() else -1
+    warm = warm16k if d16 >= d8 else warm8k
+    log.info("curriculum warm start: %s (8k ft %.5f vs 16k ft %.5f)",
+             warm, d8, d16)
+    c1 = finetune("runs/unet_r34_c256_r5", warm, deadline, share=0.12,
+                  img_size=256, batch=32, min_ep=60, max_ep=160,
+                  patience=None)
+    record(c1)
+    if c1:
+        c2 = finetune("runs/unet_r34_c384_r5", "runs/unet_r34_c256_r5/best.pth",
+                      deadline, share=0.22, img_size=384, batch=16,
+                      min_ep=50, max_ep=140, patience=None)
+        record(c2)
+        warm512 = ("runs/unet_r34_c384_r5/best.pth" if c2
+                   else "runs/unet_r34_c256_r5/best.pth")
+        record(finetune("runs/unet_r34_512_r5curr", warm512, deadline,
+                        share=0.75, lr=1e-4, max_ep=320))
+
+    # ---- D: second cosine cycle from the overall best ---------------------
+    cands = [(r.get("best_dice", -1), r["out"]) for r in results
+             if "best_dice" in r]
+    if cands and left(deadline) > 100 * EP_SEC[512]:
+        best_out = max(cands)[1]
+        record(finetune("runs/unet_r34_512_r5cycle2", f"{best_out}/best.pth",
+                        deadline, lr=5e-5, min_ep=100, max_ep=300))
+
+    log.info("campaign complete: %s", json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

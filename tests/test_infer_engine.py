@@ -188,3 +188,15 @@ class TestOnnxIngestion:
                          {"_param_7": np.zeros((3, 3), np.float32)})
         with pytest.raises(ValueError, match="best.pth"):
             load_onnx_params(str(tmp_path / "unet.onnx"))
+
+
+def test_engine_default_dtype_is_f32():
+    """f32 is the default full-precision serving path (round-5 verdict item:
+    bf16's conv lowering is ~10x slower on the current relay, so it must be
+    opt-in — BENCH.md r4, infer/engine.py)."""
+    from vickers_tpu.infer.engine import InferenceEngine
+
+    eng = InferenceEngine()
+    assert eng.model.dtype == jnp.float32
+    eng_bf16 = InferenceEngine(dtype=jnp.bfloat16)
+    assert eng_bf16.model.dtype == jnp.bfloat16

@@ -104,6 +104,12 @@ def _add_infer(sub):
     p.add_argument("--int8", action="store_true",
                    help="with --batched: int8-quantized forward (PTQ, "
                         "calibrated on the inputs)")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="full-precision forward dtype (mirrors cli train). "
+                        "float32 is the default serving path: the relay's "
+                        "bf16 conv lowering is currently ~10x slower "
+                        "(BENCH.md); bf16 stays opt-in until that is fixed")
 
 
 def _add_plot(sub):
@@ -166,7 +172,10 @@ def _cmd_infer(args) -> int:
         img_size=args.img_size, post=post,
         hv=HVConfig(force_kgf=args.force_kgf, um_per_px=args.um_per_px),
     )
-    engine = InferenceEngine(model_dir=args.model_dir, config=cfg)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    engine = InferenceEngine(model_dir=args.model_dir, config=cfg, dtype=dtype)
     if not engine.ok():
         print(f"error: no usable checkpoint under {args.model_dir}", file=sys.stderr)
         return 2

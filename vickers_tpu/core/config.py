@@ -182,6 +182,12 @@ class TrainConfig:
     ema_decay: float = 0.0              # 0 = off; e.g. 0.999 evaluates and
                                         # checkpoints an exponential moving
                                         # average of params + BN stats
+    # Hard-example oversampling: each (stem_substring, extra_repeats) entry
+    # appends every matching TRAIN sample extra_repeats more times to each
+    # epoch's index stream (val untouched).  No reference equivalent; used to
+    # upweight the etched-texture material family the val tail concentrates
+    # on (e.g. (("image003", 1),) doubles that family's sampling rate).
+    oversample: Tuple[Tuple[str, int], ...] = ()
 
 
 def rect_compat_postprocess() -> PostprocessConfig:

@@ -105,13 +105,18 @@ class CachedDataset:
         rng: Optional[np.random.Generator] = None,
         drop_remainder: bool = False,
         pad_final: bool = False,
+        extra_indices: Optional[np.ndarray] = None,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, List[str]]]:
         """Yields (idx (B,) int32, weights (B,), stems) — for the indexed
         train/eval steps that gather batches from a device-resident dataset
         (engine.make_indexed_train_step).  ``weights`` marks real samples
-        vs final-batch padding."""
+        vs final-batch padding.  ``extra_indices`` appends oversampled
+        dataset indices to the epoch's stream (TrainConfig.oversample)."""
         n = len(self)
         order = np.arange(n)
+        if extra_indices is not None and len(extra_indices):
+            order = np.concatenate([order, np.asarray(extra_indices, np.int64)])
+            n = len(order)
         if shuffle:
             (rng or np.random.default_rng()).shuffle(order)
         stop = (n // batch_size) * batch_size if drop_remainder else n

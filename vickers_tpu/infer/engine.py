@@ -101,8 +101,13 @@ class InferenceEngine:
         config: Optional[InferConfig] = None,
         params=None,
         batch_stats=None,
-        dtype=jnp.bfloat16,
+        dtype=jnp.float32,
     ):
+        # f32 is the default full-precision serving dtype (round-5 change):
+        # on the current relay, XLA's bf16 conv lowering is ~10x slower than
+        # f32 (BENCH.md r4: 10.9 vs 110.5 img/s batch-256), so bf16 is
+        # opt-in (dtype=jnp.bfloat16) until that lowering is fixed.  int8
+        # serving (enable_quant + quantized=True) is unaffected.
         from vickers_tpu.core.cache import enable_persistent_cache
 
         enable_persistent_cache()

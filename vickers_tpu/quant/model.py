@@ -100,22 +100,6 @@ ALL_CONVS = _all_conv_names()
 # bench_convs.py, FWD_STAGES_r04_*.json).  Default empty = all lax.
 MM_POLICY: frozenset = frozenset()
 
-# Conv names routed through the Pallas im2col-in-VMEM kernel
-# (quant.pallas_tail) — the high-resolution low-channel decoder tail where
-# lax.conv underfills the MXU (FWD_STAGES_r04_int8.json: dec2+dec3+dec4 =
-# 56% of forward time).  Only valid for 3x3 stride-1 convs.
-PALLAS_TAIL_POLICY: frozenset = frozenset()
-
-
-def _tail_th(h: int, w: int, ci: int) -> int:
-    """Row-band height: keep the (th*W, 9*Ci) patch matrix ~<=5MB of VMEM."""
-    th = 32
-    while th > 8 and th * w * 9 * ci > 5 << 20:
-        th //= 2
-    while h % th:
-        th //= 2
-    return max(th, 1)
-
 
 def _conv_for(name, impl_policy):
     return _conv_mm if (impl_policy and name in impl_policy) else _conv
@@ -199,8 +183,7 @@ def quantize(folded, act_absmax: Dict[str, float]) -> QParams:
 
 
 def quant_forward(qp: QParams, x_norm: jax.Array,
-                  mm_policy: frozenset | None = None,
-                  pallas_policy: frozenset | None = None) -> jax.Array:
+                  mm_policy: frozenset | None = None) -> jax.Array:
     """Normalized images -> logits, int8 conv compute.
 
     Inter-conv activations are STORED in bf16 (halves the HBM traffic of the
@@ -210,33 +193,15 @@ def quant_forward(qp: QParams, x_norm: jax.Array,
     clip boundary and measurably hurt mask accuracy.
 
     ``mm_policy`` (default MM_POLICY) names convs lowered via im2col+matmul
-    (``_conv_mm``) instead of lax.conv; ``pallas_policy`` (default
-    PALLAS_TAIL_POLICY) names 3x3/s1 convs lowered via the im2col-in-VMEM
-    Pallas kernel.  All three lowerings are bit-exact; routing is chosen by
-    measurement."""
+    (``_conv_mm``) instead of lax.conv.  Both lowerings are bit-exact;
+    routing is chosen by measurement."""
     policy = MM_POLICY if mm_policy is None else mm_policy
-    if pallas_policy is None:
-        # the Pallas kernel needs Mosaic — TPU only; CPU (tests, oracle
-        # runs) silently falls back to the bit-identical lax lowering
-        p_policy = (PALLAS_TAIL_POLICY
-                    if jax.default_backend() not in ("cpu",) else frozenset())
-    else:
-        p_policy = pallas_policy
 
     def conv_apply(name, x, stride, pad, relu):
         q = qp.convs[name]
         inv = 1.0 / q.act_scale
         x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127
                        ).astype(jnp.int8)
-        if (name in p_policy and stride == 1 and pad == 1
-                and q.w_int8.shape[0] == 3):
-            from vickers_tpu.quant.pallas_tail import (conv3x3_int8_tail,
-                                                       flatten_hwio)
-
-            _, h, w, ci = x_q.shape
-            return conv3x3_int8_tail(
-                x_q, flatten_hwio(q.w_int8), q.act_scale * q.w_scale,
-                q.bias, relu=relu, th=_tail_th(h, w, ci))
         y = _conv_for(name, policy)(x_q, q.w_int8, stride, pad)
         y = y.astype(jnp.float32) * (q.act_scale * q.w_scale)[None, None, None, :] \
             + q.bias
@@ -263,3 +228,9 @@ def folded_forward(folded, x_norm: jax.Array) -> jax.Array:
 # double-buffered DMA 106 ms per batch-64, vs 46.7 ms for this XLA path)
 # and an XLA space-to-depth low-channel-tail restructure (60.3 ms).  The
 # XLA requant path above is the one production int8 forward.
+#
+# Round-5 note: the round-4 im2col-in-VMEM Pallas decoder-tail kernel
+# (quant/pallas_tail.py, interpret-verified bit-exact) was deleted under the
+# same rule — the relay's remote Mosaic compiler rejected every pallas_call
+# for a second consecutive round (MM_POLICY_r05.json), so the kernel could
+# never be measured.  Git history retains it for a working Mosaic stack.

@@ -15,6 +15,8 @@ SURVEY §5).  Here:
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -25,6 +27,59 @@ from flax import serialization
 
 def _as_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class AsyncWriter:
+    """One background thread that serializes checkpoint writes in order.
+
+    best.pth/best.ckpt export doubled epoch wall-clock while val_dice was
+    improving (round-4 profile finding): torch pickling + msgpack of ~100 MB
+    ran on the training thread.  The device->host fetch stays on the caller's
+    thread (one relay round trip, unavoidable); serialization + file IO move
+    here.  ``drain()`` blocks until the queue is empty and re-raises the
+    first worker error; ``close()`` drains and joins the thread.
+    """
+
+    def __init__(self) -> None:
+        self._q: "queue.Queue" = queue.Queue()
+        self._err: Optional[BaseException] = None
+        self._t = threading.Thread(
+            target=self._work, name="ckpt-writer", daemon=True)
+        self._t.start()
+
+    def _work(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            fn, args, kwargs = item
+            try:
+                fn(*args, **kwargs)
+            except BaseException as e:  # surfaced on the next submit/drain
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn, *args, **kwargs) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        self._q.put((fn, args, kwargs))
+
+    def drain(self) -> None:
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self) -> None:
+        self._q.join()
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
 
 def save_native(path: str | Path, tree: Dict[str, Any]) -> None:
@@ -82,11 +137,14 @@ def load_resume_tree(path: str | Path, state) -> Dict[str, Any]:
 
 
 def export_pth(path: str | Path, params, batch_stats) -> None:
-    """Write weights in the reference's torch state-dict format."""
+    """Write weights in the reference's torch state-dict format (atomic)."""
     import torch
 
     from vickers_tpu.compat.convert import flax_to_torch_state_dict
 
     sd = flax_to_torch_state_dict(_as_numpy(params), _as_numpy(batch_stats))
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    torch.save(sd, str(path))
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    torch.save(sd, str(tmp))
+    os.replace(tmp, path)

@@ -136,6 +136,27 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
     data_rng = np.random.default_rng(cfg.seed + start_ep - 1)
     aug_key = jax.random.fold_in(root_key, start_ep)
 
+    # hard-example oversampling (TrainConfig.oversample): extra index
+    # repeats appended to every epoch's train stream
+    extra_idx = None
+    if cfg.oversample:
+        extra = []
+        for pat, rep in cfg.oversample:
+            hits = [i for i, s in enumerate(train_ds.stems) if pat in s]
+            extra.extend(hits * int(rep))
+        if extra:
+            extra_idx = np.asarray(extra, np.int64)
+            log.info("oversampling %d extra samples/epoch (%s)",
+                     len(extra), dict(cfg.oversample))
+
+    # checkpoint serialization + file IO run on a background thread (the
+    # device->host fetch stays on this thread); this keeps improving-phase
+    # epochs at steady-state wall clock (round-4 profile finding: the
+    # synchronous best.pth/best.ckpt export doubled them).  Writes are
+    # atomic (tmp + os.replace), so a crash mid-write cannot corrupt
+    # already-exported checkpoints.
+    writer = ckpt.AsyncWriter()
+
     for ep in range(start_ep, epochs + 1):
         t0 = time.time()
         # cosine lr for this epoch (torch steps the scheduler after the
@@ -148,7 +169,8 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
         losses, counts = [], []
         with trace(cfg.profile_dir if ep == 1 else None):
             for idx, w, _ in train_ds.epoch_index_batches(
-                cfg.batch, shuffle=True, rng=data_rng, pad_final=True
+                cfg.batch, shuffle=True, rng=data_rng, pad_final=True,
+                extra_indices=extra_idx,
             ):
                 aug_key, sk = jax.random.split(aug_key)
                 state, loss = train_step(state, dev_imgs, dev_masks, idx, w, sk)
@@ -218,13 +240,16 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
         )
 
         # ---- checkpoints (native full-state + reference-format .pth) ----
+        # fetch to host once here; serialization + IO happen on the writer
+        # thread so the next epoch starts immediately
         if val_dice > best_dice:
             best_dice = val_dice
-            ckpt.save_native(out_dir / "best.ckpt", {
-                "params": eval_state.params, "batch_stats": eval_state.batch_stats,
-            })
-            ckpt.export_pth(out_dir / "best.pth",
-                            eval_state.params, eval_state.batch_stats)
+            eval_np = ckpt._as_numpy({
+                "params": eval_state.params,
+                "batch_stats": eval_state.batch_stats})
+            writer.submit(ckpt.save_native, out_dir / "best.ckpt", eval_np)
+            writer.submit(ckpt.export_pth, out_dir / "best.pth",
+                          eval_np["params"], eval_np["batch_stats"])
             no_improve = 0
         else:
             no_improve += 1
@@ -235,9 +260,13 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
             }
             if state.ema is not None:
                 last_tree["ema"] = state.ema
-            ckpt.save_native(out_dir / "last.ckpt", last_tree)
-            ckpt.export_pth(out_dir / "last.pth",
-                            eval_state.params, eval_state.batch_stats)
+            last_np = ckpt._as_numpy(last_tree)
+            eval_np = ckpt._as_numpy({
+                "params": eval_state.params,
+                "batch_stats": eval_state.batch_stats})
+            writer.submit(ckpt.save_native, out_dir / "last.ckpt", last_np)
+            writer.submit(ckpt.export_pth, out_dir / "last.pth",
+                          eval_np["params"], eval_np["batch_stats"])
 
         with open(out_dir / "history.json", "w", encoding="utf-8") as f:
             json.dump(history, f, ensure_ascii=False, indent=2)
@@ -258,6 +287,10 @@ def run(cfg: TrainConfig, max_epochs: Optional[int] = None) -> List[Dict]:
             log.info("[EARLY STOP] no val_dice improvement for %d epochs "
                      "(stop at epoch %d)", patience, ep)
             break
+
+    # all queued checkpoint writes must land (and any writer error surface)
+    # before the final artifacts are produced
+    writer.close()
 
     # ---- final export: StableHLO of the jitted forward (ONNX analog) ----
     try:
