@@ -166,10 +166,15 @@ def main():
             return jnp.sum(jax.vmap(one)(m))
         return cc
 
-    for block in (8, 16, 32):
+    for block in (4, 8, 16, 32):
         t = chained(lambda s, f=cc_fn(16, block): f(masks, s), iters,
                     args.reps)
         add(f"stage: CC runs (edge-agreement fixpoint, block={block})", t)
+    # while-loop overhead probe: hard single sweep (inexact in general,
+    # measurement-only — the gap vs max_sweeps=16 is the loop+predicate cost
+    # now that real masks converge in one sweep)
+    t = chained(lambda s, f=cc_fn(1, 16): f(masks, s), iters, args.reps)
+    add("stage: CC runs (block=16, max_sweeps=1 probe)", t)
 
     @jax.jit
     def full_post(p, salt):

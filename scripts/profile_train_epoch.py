@@ -6,10 +6,14 @@ functions and datasets (letterbox recipe, batch 8, 164 train / 18 val):
   train_steps  — the 21 jitted donated train steps, dependency-chained,
                  ONE host fetch at the end (as in train/loop.py)
   eval_steps   — the 3 jitted eval steps + the epoch's host fetches
-  ckpt_io      — save last.ckpt + rewrite history.json (host-side)
+  ckpt_submit  — what an improving epoch NOW pays for the best.ckpt +
+                 best.pth export: device->host fetch + enqueue to the
+                 round-5 background writer (train/checkpoint.AsyncWriter)
+  ckpt_sync    — the same export done synchronously (the pre-round-5
+                 cost, measured once for the A/B)
 
-Writes TRAIN_PROFILE_r04.json.  Compare the sum against the measured epoch
-wall time in runs/*/history.json (~6.0-6.3 s).
+Writes TRAIN_PROFILE_r05.json.  Compare the sum against the measured epoch
+wall time in runs/*/history.json (~6.0-6.3 s steady).
 
 Usage: python scripts/profile_train_epoch.py [--epochs 3]
 """
@@ -26,7 +30,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--json", default="TRAIN_PROFILE_r04.json")
+    ap.add_argument("--json", default="TRAIN_PROFILE_r05.json")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +75,8 @@ def main():
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
 
+    writer = ckpt.AsyncWriter()
+
     def one_epoch():
         nonlocal state, key
         t0 = time.perf_counter()
@@ -88,12 +94,17 @@ def main():
             evals.append(eval_step(state, vdev_imgs, vdev_masks, idx, w))
         dice = float(np.sum(np.asarray(jnp.stack([e.dice_sum for e in evals]))))
         t2 = time.perf_counter()
-        ckpt.save_native("/tmp/prof_last.ckpt", {
-            "params": state.params, "batch_stats": state.batch_stats})
+        # an improving epoch's checkpoint cost under the round-5 async
+        # writer: fetch on this thread, serialize+write in the background
+        tree = ckpt._as_numpy({"params": state.params,
+                               "batch_stats": state.batch_stats})
+        writer.submit(ckpt.save_native, "/tmp/prof_best.ckpt", tree)
+        writer.submit(ckpt.export_pth, "/tmp/prof_best.pth",
+                      tree["params"], tree["batch_stats"])
         t3 = time.perf_counter()
         return {"train_steps_s": round(t1 - t0, 3),
                 "eval_steps_s": round(t2 - t1, 3),
-                "ckpt_io_s": round(t3 - t2, 3),
+                "ckpt_submit_s": round(t3 - t2, 3),
                 "total_s": round(t3 - t0, 3),
                 "train_loss": round(tl, 4), "dice_sum": round(dice, 3)}
 
@@ -102,10 +113,18 @@ def main():
     for _ in range(args.epochs):
         rows.append(one_epoch())
         print(json.dumps(rows[-1]), flush=True)
+    writer.close()
+    # the pre-round-5 synchronous export, once, for the A/B
+    t0 = time.perf_counter()
+    ckpt.save_native("/tmp/prof_best.ckpt", {
+        "params": state.params, "batch_stats": state.batch_stats})
+    ckpt.export_pth("/tmp/prof_best.pth", state.params, state.batch_stats)
+    sync_s = round(time.perf_counter() - t0, 3)
     steady = rows[1:]
     summary = {k: round(float(np.mean([r[k] for r in steady])), 3)
-               for k in ("train_steps_s", "eval_steps_s", "ckpt_io_s",
+               for k in ("train_steps_s", "eval_steps_s", "ckpt_submit_s",
                          "total_s")}
+    summary["ckpt_sync_s"] = sync_s
     summary["n_train_steps"] = 21
     summary["per_train_step_ms"] = round(
         summary["train_steps_s"] / 21 * 1000, 1)

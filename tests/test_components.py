@@ -217,3 +217,31 @@ class TestRunBasedComponents:
                     assert np.asarray(runs.xmax)[k, r] == cols.max()
                 else:
                     assert not np.asarray(runs.any_row)[k, r]
+
+
+def test_edges_agree_predicate():
+    """The O(1)-depth convergence predicate (round-5 fixpoint change):
+    False on a label state where connected adjacent-row runs disagree,
+    True at the true fixpoint (which the oracle-checked labeler reaches)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vickers_tpu.ops.components import (_edges_agree, _row_run_tables,
+                                            _run_fixpoint)
+
+    # U shape: left and right arms joined only at the bottom — the init
+    # labels (per-run max linear index) disagree across every vertical edge
+    m = np.zeros((16, 16), np.float32)
+    m[2:14, 2:4] = 1
+    m[2:14, 10:12] = 1
+    m[12:14, 2:12] = 1
+    fg = jnp.asarray(m) > 0.5
+    x0, x1, rv, _ = _row_run_tables(fg, 8)
+    rows = jnp.arange(16, dtype=jnp.int32)
+    init = jnp.where(rv, rows[:, None] * 16 + x1, -1)
+    assert not bool(_edges_agree(init, x0, x1, rv))
+    final = _run_fixpoint(x0, x1, init, rv, max_sweeps=16)
+    assert bool(_edges_agree(final, x0, x1, rv))
+    # every run of the single component carries the component max
+    labels = np.asarray(final)[np.asarray(rv)]
+    assert (labels == labels.max()).all()

@@ -77,3 +77,55 @@ def test_cached_dataset_and_batches():
 
     b2 = list(ds.epoch_batches(2, shuffle=False, drop_remainder=True))
     assert len(b2) == 2
+
+
+def test_epoch_index_batches_extra_indices():
+    """TrainConfig.oversample plumbing: extra indices join the shuffled
+    epoch stream; counts and padding weights stay consistent."""
+    import numpy as np
+
+    from vickers_tpu.data.loader import CachedDataset
+
+    ds = CachedDataset.__new__(CachedDataset)  # avoid decoding: stub fields
+    ds.stems = [f"s{i}" for i in range(10)]
+    ds.images = np.zeros((10, 8, 8, 3), np.uint8)
+    ds.masks = np.zeros((10, 8, 8), np.uint8)
+
+    rng = np.random.default_rng(0)
+    extra = np.asarray([3, 3, 7], np.int64)
+    seen = []
+    total_w = 0.0
+    for idx, w, stems in ds.epoch_index_batches(4, shuffle=True, rng=rng,
+                                                pad_final=True,
+                                                extra_indices=extra):
+        assert len(idx) == 4 and len(w) == 4
+        seen.extend(idx[w > 0].tolist())
+        total_w += w.sum()
+    assert total_w == 13  # 10 base + 3 extra real samples
+    counts = np.bincount(seen, minlength=10)
+    assert counts[3] == 3 and counts[7] == 2
+    assert all(counts[i] == 1 for i in (0, 1, 2, 4, 5, 6, 8, 9))
+
+
+def test_async_writer_orders_and_propagates_errors(tmp_path):
+    import pytest
+
+    from vickers_tpu.train import checkpoint as ckpt
+
+    w = ckpt.AsyncWriter()
+    out = []
+    w.submit(out.append, 1)
+    w.submit(out.append, 2)
+    w.drain()
+    assert out == [1, 2]
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    w.submit(boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        w.drain()
+    # writer survives an error and keeps working
+    w.submit(out.append, 3)
+    w.close()
+    assert out == [1, 2, 3]
