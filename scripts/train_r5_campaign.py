@@ -91,6 +91,12 @@ def main():
             results.append(rec)
             res_path.write_text(json.dumps(results, indent=2))
 
+    def ft_done(out):
+        """A fine-tune counts as done only when its completion record is in
+        the campaign log (a history.json alone can be an interrupted run —
+        finetune() resumes those from last.ckpt)."""
+        return any(r.get("out") == out and "best_dice" in r for r in results)
+
     def ssl(out, steps):
         if not Path(out, "ssl_warmstart.pth").exists():
             hist = run_ssl_pretrain(DATA, out, variant="mask", steps=steps,
@@ -101,13 +107,13 @@ def main():
 
     # ---- A: mask-SSL 8k -> fine-tune --------------------------------------
     warm8k = ssl("runs/ssl_mask8k_r5", 8000)
-    if not Path("runs/unet_r34_512_r5m8k/history.json").exists():
+    if not ft_done("runs/unet_r34_512_r5m8k"):
         record(finetune("runs/unet_r34_512_r5m8k", warm8k, deadline,
                         share=0.14, max_ep=260))
 
     # ---- B: mask-SSL 16k -> fine-tune -------------------------------------
     warm16k = ssl("runs/ssl_mask16k_r5", 16000)
-    if not Path("runs/unet_r34_512_r5m16k/history.json").exists():
+    if not ft_done("runs/unet_r34_512_r5m16k"):
         record(finetune("runs/unet_r34_512_r5m16k", warm16k, deadline,
                         share=0.35, max_ep=260))
 
