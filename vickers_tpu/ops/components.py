@@ -437,19 +437,34 @@ def _run_fixpoint(x0, x1, labels, run_valid, max_sweeps: int,
         x0, x1 = padrow(x0, 1), padrow(x1, -2)
         labels, run_valid = padrow(labels, -1), padrow(run_valid, False)
 
+    # The first down+up pair runs unconditionally (every real mask needs
+    # it); refinement then proceeds in SINGLE directional passes with the
+    # cheap predicate between them, so a batch where one image needs "one
+    # more reversal" pays one extra pass, not a full extra pair
+    # (STAGES_r05: a full pair is ~20 ms/batch-256 and the vmapped
+    # while_loop runs lockstep until every lane converges).
+    def down(l):
+        return _down_pass(l, x0, x1, run_valid, block)
+
+    def up(l):
+        return _down_pass(l[::-1], x0[::-1], x1[::-1],
+                          run_valid[::-1], block)[::-1]
+
+    labels = up(down(labels))
+
     def body(state):
         i, l0, _ = state
-        l1 = _down_pass(l0, x0, x1, run_valid, block)
-        l2 = _down_pass(l1[::-1], x0[::-1], x1[::-1],
-                        run_valid[::-1], block)[::-1]
-        return i + 1, l2, ~_edges_agree(l2, x0, x1, run_valid)
+        # passes alternate: up just ran (or an odd refinement), so even
+        # refinement steps go down, odd go up
+        l1 = jax.lax.cond(i % 2 == 0, down, up, l0)
+        return i + 1, l1, ~_edges_agree(l1, x0, x1, run_valid)
 
     def cond(state):
         i, _, changed = state
-        return (i < max_sweeps) & changed
+        return (i < 2 * (max_sweeps - 1)) & changed
 
     _, labels, _ = jax.lax.while_loop(
-        cond, body, (0, labels, jnp.bool_(True)))
+        cond, body, (0, labels, ~_edges_agree(labels, x0, x1, run_valid)))
     return labels[:h] if pad else labels
 
 
