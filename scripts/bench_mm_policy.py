@@ -56,24 +56,18 @@ def main():
     k3 = {n for n, _, _, _, _, k, _, _ in conv_table(size) if k == 3}
 
     E = frozenset()
-    TAIL = frozenset({"dec2.conv1", "dec2.conv2", "dec3.conv1", "dec3.conv2",
-                      "dec4.conv1", "dec4.conv2", "head"})
-    DEC34 = frozenset({"dec3.conv1", "dec3.conv2", "dec4.conv1", "dec4.conv2",
-                       "head"})
-    # name -> (mm_policy, shift9_policy).  Pallas rows removed round 5 (the
-    # tail kernel was deleted after a second round of Mosaic remote-compile
-    # failures, MM_POLICY_r05.json); shift9 rows added round 5 (3x3 conv as
-    # nine shifted matmuls, quant.model._conv_shift9).
+    # name -> (mm_policy,).  Pallas rows were removed round 5 (the tail
+    # kernel was deleted after a second round of Mosaic remote-compile
+    # failures, MM_POLICY_r05.json); shift9 rows were raced round 5 and
+    # the lowering deleted after losing 7x to all-lax
+    # (MM_POLICY_r05_race.json).
     POLICIES = {
-        "all-lax": (E, E),
-        "all-mm": (frozenset(ALL_CONVS), E),
-        "mm-3x3": (frozenset(n for n in ALL_CONVS if n in k3), E),
+        "all-lax": (E,),
+        "all-mm": (frozenset(ALL_CONVS),),
+        "mm-3x3": (frozenset(n for n in ALL_CONVS if n in k3),),
         "mm-ci<=64": (frozenset(n for n in ALL_CONVS
-                                if cin.get(n, 999) <= 64 and n in k3), E),
-        "mm-conv1": (frozenset({"enc.conv1"}), E),
-        "shift9-tail": (E, TAIL),
-        "shift9-dec34": (E, DEC34),
-        "shift9-3x3": (E, frozenset(n for n in ALL_CONVS if n in k3)),
+                                if cin.get(n, 999) <= 64 and n in k3),),
+        "mm-conv1": (frozenset({"enc.conv1"}),),
     }
     if args.policies:
         keep = args.policies.split(",")
@@ -90,11 +84,11 @@ def main():
         return (time.perf_counter() - t0) / iters
 
     rows = []
-    for name, (mm_pol, s9_pol) in POLICIES.items():
+    for name, (mm_pol,) in POLICIES.items():
         @jax.jit
-        def fn(u8, salt, mm_pol=mm_pol, s9_pol=s9_pol):
+        def fn(u8, salt, mm_pol=mm_pol):
             x = normalize_imagenet(u8.astype(jnp.float32) + salt)
-            y = quant_forward(qp, x, mm_policy=mm_pol, shift9_policy=s9_pol)
+            y = quant_forward(qp, x, mm_policy=mm_pol)
             return jnp.sum(y[:, ::16, ::16].astype(jnp.float32))
 
         t0 = time.perf_counter()
@@ -106,7 +100,7 @@ def main():
             print(json.dumps(rows[-1]), flush=True)
             continue
         rows.append({"policy": name, "batch": B,
-                     "n_mm": len(mm_pol), "n_shift9": len(s9_pol),
+                     "n_mm": len(mm_pol),
                      "ms": round(t * 1000, 2),
                      "compile_s": round(time.perf_counter() - t0
                                         - t * args.iters, 1)})

@@ -113,19 +113,3 @@ def test_mm_policy_bit_exact(model_and_vars):
     allmm = np.asarray(qf(qp, x, mm_policy=frozenset(ALL_CONVS)))
     assert np.array_equal(base, allmm)
 
-
-def test_shift9_policy_bit_exact(model_and_vars):
-    """The 9-shifted-matmul lowering (_conv_shift9) is the same integer
-    computation as lax.conv (int32 accumulation, order-independent), so
-    quant_forward must be bit-exact under any shift9_policy; non-3x3 convs
-    named in the policy fall through to the default lowering."""
-    from vickers_tpu.quant.model import ALL_CONVS, quant_forward as qf
-
-    model, params, stats = model_and_vars
-    calib = normalize_imagenet(jnp.asarray(_imgs(4, seed=1)))
-    folded, absmax = calibrate(params, stats, calib)
-    qp = quantize(folded, absmax)
-    x = normalize_imagenet(jnp.asarray(_imgs(2, seed=3)))
-    base = np.asarray(qf(qp, x))
-    s9 = np.asarray(qf(qp, x, shift9_policy=frozenset(ALL_CONVS)))
-    assert np.array_equal(base, s9)

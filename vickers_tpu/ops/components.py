@@ -476,12 +476,15 @@ def extract_components_runs(
     max_components: int = 8,
     max_runs: int = 64,
     max_sweeps: int = 16,
-    block: int = 16,
+    block: int = 32,
 ) -> RunComponents:
     """Run-based connectedComponentsWithStats + area filter + top-K + extents.
 
     ``block`` is the row-block size of the log-depth fixpoint (serial depth
-    per direction pass = 2*block + log2(H/block)); 16 measured best on-chip.
+    per direction pass = 2*block + log2(H/block)); 32 measured best on-chip
+    with the round-5 edge-agreement convergence predicate (STAGES_r05b:
+    66.0 ms/batch-256 vs 68.0 at block=16 — per-step overhead, not serial
+    depth, is what binds once most batches converge in one sweep).
     """
     h, w = mask.shape
     fg = mask > 0.5

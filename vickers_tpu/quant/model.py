@@ -95,50 +95,13 @@ def _all_conv_names():
 
 ALL_CONVS = _all_conv_names()
 
-def _conv_shift9(x, w, stride, pad):
-    """3x3 conv as NINE shifted 1x1 matmuls accumulated in int32.
-
-    A third lowering between ``_conv`` (lax.conv) and ``_conv_mm``
-    (im2col): each tap (dy, dx) contributes one
-    (B*Ho*Wo, Ci) x (Ci, Co) dot over a strided slice of the padded
-    input — no 9x patch materialization (im2col at batch-256 512^2
-    decoder shapes would need tens of GB), while still routing through
-    plain MXU matmuls instead of lax.conv's convolution lowering.
-    Integer accumulation is order-independent, so results are bit-exact
-    vs the other lowerings (asserted in tests/test_quant.py)."""
-    b, h, ww, ci = x.shape
-    k, _, _, co = w.shape
-    ho = (h + 2 * pad - k) // stride + 1
-    wo = (ww + 2 * pad - k) // stride + 1
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    acc_t = jnp.int32 if w.dtype == jnp.int8 else jnp.float32
-    acc = jnp.zeros((b * ho * wo, co), acc_t)
-    for dy in range(k):
-        for dx in range(k):
-            sl = jax.lax.slice(
-                xp, (0, dy, dx, 0),
-                (b, dy + (ho - 1) * stride + 1,
-                 dx + (wo - 1) * stride + 1, ci),
-                (1, stride, stride, 1)).reshape(b * ho * wo, ci)
-            acc = acc + jax.lax.dot_general(
-                sl, w[dy, dx], (((1,), (0,)), ((), ())),
-                preferred_element_type=acc_t)
-    return acc.reshape(b, ho, wo, co)
-
-
 # Conv names routed through the im2col/matmul lowering instead of lax.conv,
 # chosen by on-chip measurement (scripts/bench_fwd_stages.py /
 # bench_convs.py, FWD_STAGES_r04_*.json).  Default empty = all lax.
 MM_POLICY: frozenset = frozenset()
 
-# Conv names routed through the 9-shifted-matmul lowering (_conv_shift9).
-# Default empty pending the same-process race (scripts/bench_mm_policy.py).
-SHIFT9_POLICY: frozenset = frozenset()
 
-
-def _conv_for(name, impl_policy, shift9_policy=None):
-    if shift9_policy and name in shift9_policy:
-        return _conv_shift9
+def _conv_for(name, impl_policy):
     return _conv_mm if (impl_policy and name in impl_policy) else _conv
 
 
@@ -220,8 +183,7 @@ def quantize(folded, act_absmax: Dict[str, float]) -> QParams:
 
 
 def quant_forward(qp: QParams, x_norm: jax.Array,
-                  mm_policy: frozenset | None = None,
-                  shift9_policy: frozenset | None = None) -> jax.Array:
+                  mm_policy: frozenset | None = None) -> jax.Array:
     """Normalized images -> logits, int8 conv compute.
 
     Inter-conv activations are STORED in bf16 (halves the HBM traffic of the
@@ -231,19 +193,16 @@ def quant_forward(qp: QParams, x_norm: jax.Array,
     clip boundary and measurably hurt mask accuracy.
 
     ``mm_policy`` (default MM_POLICY) names convs lowered via im2col+matmul
-    (``_conv_mm``); ``shift9_policy`` (default SHIFT9_POLICY) names 3x3
-    convs lowered via nine shifted matmuls (``_conv_shift9``).  All
-    lowerings are bit-exact; routing is chosen by measurement."""
+    (``_conv_mm``) instead of lax.conv.  Both lowerings are bit-exact;
+    routing is chosen by measurement."""
     policy = MM_POLICY if mm_policy is None else mm_policy
-    s9 = SHIFT9_POLICY if shift9_policy is None else shift9_policy
 
     def conv_apply(name, x, stride, pad, relu):
         q = qp.convs[name]
         inv = 1.0 / q.act_scale
         x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127
                        ).astype(jnp.int8)
-        s9_here = s9 if q.w_int8.shape[0] == 3 else None
-        y = _conv_for(name, policy, s9_here)(x_q, q.w_int8, stride, pad)
+        y = _conv_for(name, policy)(x_q, q.w_int8, stride, pad)
         y = y.astype(jnp.float32) * (q.act_scale * q.w_scale)[None, None, None, :] \
             + q.bias
         return (jax.nn.relu(y) if relu else y).astype(jnp.bfloat16)
@@ -270,8 +229,14 @@ def folded_forward(folded, x_norm: jax.Array) -> jax.Array:
 # and an XLA space-to-depth low-channel-tail restructure (60.3 ms).  The
 # XLA requant path above is the one production int8 forward.
 #
-# Round-5 note: the round-4 im2col-in-VMEM Pallas decoder-tail kernel
-# (quant/pallas_tail.py, interpret-verified bit-exact) was deleted under the
-# same rule — the relay's remote Mosaic compiler rejected every pallas_call
-# for a second consecutive round (MM_POLICY_r05.json), so the kernel could
-# never be measured.  Git history retains it for a working Mosaic stack.
+# Round-5 notes, same win-or-delete rule:
+# - the round-4 im2col-in-VMEM Pallas decoder-tail kernel
+#   (quant/pallas_tail.py, interpret-verified bit-exact) was deleted — the
+#   relay's remote Mosaic compiler rejected every pallas_call for a second
+#   consecutive round (MM_POLICY_r05.json), so it could never be measured.
+# - a 9-shifted-matmul 3x3 lowering (_conv_shift9: per-tap 1x1 dots, no
+#   im2col patch blowup) was built, tested bit-exact, raced same-process
+#   and deleted: shift9-tail 365.7 / shift9-dec34 330.8 / shift9-3x3 541.1
+#   ms/batch-64 vs all-lax 51.6 (MM_POLICY_r05_race.json) — XLA's native
+#   conv lowering wins every routing tried on this backend.
+# Git history retains both implementations.
