@@ -1,4 +1,7 @@
-"""Bisect the Mosaic compile failure of quant/pallas_tail.py on the relay.
+"""Bisect the relay's Mosaic remote-compile failure (run FIRST in any
+session before writing Pallas code; the kernel this originally triaged,
+quant/pallas_tail.py, was deleted in round 5 after two rounds of outage —
+see MM_POLICY_r05.json; git history retains it).
 
 Three minimal kernels at a dec4.conv1-like shape, compiled one by one:
   A: manual HBM->VMEM DMA + ONE shifted slice dot (no concat)
