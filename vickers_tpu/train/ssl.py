@@ -74,7 +74,12 @@ def _corrupt(variant: str, x: jax.Array, key: jax.Array,
 
 
 def make_ssl_step(model, tx, variant: str, block: int, ratio: float):
-    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=())
+    # imgs_u8 is donated too: a FRESH ~12.6 MB host batch feeds every step,
+    # and the axon relay client retains non-donated input buffers — the
+    # round-5 16k run leaked 12.6 MB/step to a 130 GB OOM kill at step
+    # ~10200 before this (fine-tuning is unaffected: its dataset is
+    # device-resident and steps pass only tiny index vectors).
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
     def step(state: TrainState, imgs_u8, key):
         x = normalize_imagenet(imgs_u8.astype(jnp.float32))
         kc, kf = jax.random.split(key)
@@ -158,9 +163,30 @@ def run_ssl_pretrain(data: str, out: str, variant: str = "mask",
     out_dir = Path(out)
     out_dir.mkdir(parents=True, exist_ok=True)
     history: List[Dict] = []
+    start_step = 1
+    # crash-safe resume (OOM/wedge protection for long schedules): restore
+    # full state + the RNG stream position recorded with it
+    resume_ckpt = out_dir / "ssl_resume.ckpt"
+    if resume_ckpt.exists():
+        raw = ckpt.load_native(resume_ckpt)
+        from flax import serialization as _ser
+
+        state = state.replace(
+            params=_ser.from_state_dict(state.params, raw["params"]),
+            batch_stats=_ser.from_state_dict(state.batch_stats,
+                                             raw["batch_stats"]),
+            opt_state=_ser.from_state_dict(state.opt_state, raw["opt_state"]),
+            step=int(raw["step"]))
+        start_step = int(raw["step"]) + 1
+        rng = np.random.default_rng(seed + start_step)
+        root_key = jax.random.fold_in(root_key, start_step)
+        hist_file = out_dir / "ssl_history.json"
+        if hist_file.exists():
+            history = json.loads(hist_file.read_text())
+        log.info("ssl resume from step %d", start_step - 1)
     t0 = time.time()
     window: List[jax.Array] = []
-    for i in range(1, steps + 1):
+    for i in range(start_step, steps + 1):
         imgs, _, _, _ = crop_ds.sample_batch(batch, rng)
         root_key, sk = jax.random.split(root_key)
         state, loss = step_fn(state, jnp.asarray(imgs), sk)
@@ -175,6 +201,10 @@ def run_ssl_pretrain(data: str, out: str, variant: str = "mask",
                      variant, i, mean, rec["time"])
             (out_dir / "ssl_history.json").write_text(
                 json.dumps(history, indent=2))
+        if i % 2000 == 0 and i < steps:
+            ckpt.save_native(resume_ckpt, {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": i})
 
     export_warm_start(out_dir / "ssl_warmstart.pth", state.params,
                       state.batch_stats, seed)
