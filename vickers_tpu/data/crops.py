@@ -91,3 +91,38 @@ class CropDataset:
                       ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]]:
         for _ in range(steps):
             yield self.sample_batch(batch, rng)
+
+    def sample_coords(self, batch: int, rng: np.random.Generator
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(idx, y0, x0) int32 — the same crop distribution as
+        ``sample_batch`` but coordinates only, for steps that crop from a
+        device-resident ``image_bank()`` (a fresh ~MB host batch per step
+        leaks in the relay client — round-5 SSL OOM; tiny coordinate
+        vectors do not)."""
+        t = self.tile
+        idx = np.zeros(batch, np.int32)
+        ys = np.zeros(batch, np.int32)
+        xs = np.zeros(batch, np.int32)
+        for b in range(batch):
+            i = int(rng.integers(len(self.images)))
+            img, fg = self.images[i], self.fg_coords[i]
+            h, w = img.shape[:2]
+            if len(fg) and rng.random() < self.fg_bias:
+                cy, cx = fg[int(rng.integers(len(fg)))]
+                y0 = int(np.clip(cy - t // 2 + int(rng.integers(-t // 4, t // 4 + 1)), 0, h - t))
+                x0 = int(np.clip(cx - t // 2 + int(rng.integers(-t // 4, t // 4 + 1)), 0, w - t))
+            else:
+                y0 = int(rng.integers(0, h - t + 1))
+                x0 = int(rng.integers(0, w - t + 1))
+            idx[b], ys[b], xs[b] = i, y0, x0
+        return idx, ys, xs
+
+    def image_bank(self) -> np.ndarray:
+        """(N, Hmax, Wmax, 3) uint8 zero-padded image bank.  Crops sampled
+        by ``sample_coords`` never read the padding (y0 <= h - tile)."""
+        hm = max(im.shape[0] for im in self.images)
+        wm = max(im.shape[1] for im in self.images)
+        bank = np.zeros((len(self.images), hm, wm, 3), np.uint8)
+        for i, im in enumerate(self.images):
+            bank[i, : im.shape[0], : im.shape[1]] = im
+        return bank

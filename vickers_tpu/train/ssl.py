@@ -73,15 +73,21 @@ def _corrupt(variant: str, x: jax.Array, key: jax.Array,
     return noisy, jnp.ones(x.shape[:2], jnp.float32)
 
 
-def make_ssl_step(model, tx, variant: str, block: int, ratio: float):
-    # imgs_u8 is donated too: a FRESH ~12.6 MB host batch feeds every step,
-    # and the axon relay client retains non-donated input buffers — the
-    # round-5 16k run leaked 12.6 MB/step to a 130 GB OOM kill at step
-    # ~10200 before this (fine-tuning is unaffected: its dataset is
-    # device-resident and steps pass only tiny index vectors).
-    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
-    def step(state: TrainState, imgs_u8, key):
-        x = normalize_imagenet(imgs_u8.astype(jnp.float32))
+def make_ssl_step(model, tx, variant: str, block: int, ratio: float,
+                  tile: int):
+    # The step crops its batch ON DEVICE from a resident image bank and is
+    # fed only (B,) coordinate vectors.  Feeding a fresh ~12.6 MB host
+    # batch per step leaks in the relay client (retained staging buffers,
+    # donation does not help): the round-5 16k run grew 11.4 MB/step to a
+    # 130 GB OOM kill.  The device bank makes SSL leak-free the same way
+    # the fine-tune path is (device-resident data + tiny index feeds).
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, bank_u8, idx, y0, x0, key):
+        crops = jax.vmap(
+            lambda i, y, x: jax.lax.dynamic_slice(
+                bank_u8, (i, y, x, 0), (1, tile, tile, 3))[0]
+        )(idx, y0, x0)
+        x = normalize_imagenet(crops.astype(jnp.float32))
         kc, kf = jax.random.split(key)
         # cheap geometric diversity: per-sample flips
         flips = jax.random.bernoulli(kf, 0.5, (x.shape[0], 2))
@@ -157,7 +163,8 @@ def run_ssl_pretrain(data: str, out: str, variant: str = "mask",
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.02)
     tx = optax.adamw(sched, b1=0.9, b2=0.999, weight_decay=weight_decay)
     state = create_train_state(model, params, stats, tx)
-    step_fn = make_ssl_step(model, tx, variant, block, ratio)
+    step_fn = make_ssl_step(model, tx, variant, block, ratio, tile)
+    bank = jax.device_put(crop_ds.image_bank())  # resident for the run
 
     rng = np.random.default_rng(seed)
     out_dir = Path(out)
@@ -187,9 +194,10 @@ def run_ssl_pretrain(data: str, out: str, variant: str = "mask",
     t0 = time.time()
     window: List[jax.Array] = []
     for i in range(start_step, steps + 1):
-        imgs, _, _, _ = crop_ds.sample_batch(batch, rng)
+        idx, y0, x0 = crop_ds.sample_coords(batch, rng)
         root_key, sk = jax.random.split(root_key)
-        state, loss = step_fn(state, jnp.asarray(imgs), sk)
+        state, loss = step_fn(state, bank, jnp.asarray(idx),
+                              jnp.asarray(y0), jnp.asarray(x0), sk)
         window.append(loss)
         if i % log_every == 0 or i == steps:
             mean = float(np.mean(np.asarray(jnp.stack(window), np.float64)))
