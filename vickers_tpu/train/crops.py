@@ -6,6 +6,13 @@ checkpoint formats); only the data source differs: random foreground-biased
 checkpoints are what ``infer.tiled`` needs to segment full-resolution images
 (BASELINE config 4); the reference has no counterpart (it never trains or
 infers at native scale).
+
+Operational caveat (round 5): this trainer streams a fresh host batch per
+step, which the axon relay client leaks (~12 MB/step — see train/ssl.py,
+which was converted to a device-resident image bank + coordinate feeding
+after a 130 GB OOM).  Crop/mixed schedules here are short enough
+(~40 steps/epoch) that the leak stays bounded; port the bank pattern from
+ssl.py before running multi-thousand-step crop schedules on the relay.
 """
 
 from __future__ import annotations
